@@ -1,0 +1,96 @@
+"""Broadphase: batched AABB overlap -> padded, sorted candidate pair list.
+
+TPU-native replacement for the reference's dynamic-AABB-tree broadphase
+(include/edyn/collision/dynamic_tree.hpp:24-104,
+src/edyn/collision/broadphase.cpp:177-232). Instead of an incrementally
+rebalanced BVH + per-entity tree queries, we evaluate the dense overlap mask in
+row blocks (the AABB table for 10k bodies is ~320 KB — it fits in VMEM whole,
+so an exact O(N^2/2) masked test is bandwidth-trivial on the VPU and has no
+tree-update serialization), then compact to a fixed-capacity pair list with a
+single global sort. The sorted pair keys double as the manifold-persistence
+index (replaces contact_manifold_map).
+
+Filters follow should_collide_default (src/edyn/collision/should_collide.cpp:23-50):
+self, unallocated slots, two non-dynamic bodies, collision group/mask,
+exclusion lists, amorphous bodies.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..shapes.params import ShapeType
+from ..core.state import KIND_DYNAMIC
+
+INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+
+def _pair_filters(state, i_idx, j_idx):
+    """Boolean mask of eligible pairs for row indices i (block) vs all j."""
+    kind = state.kind
+    valid = state.valid & (state.shape_type != ShapeType.NONE)
+    dyn = kind == KIND_DYNAMIC
+
+    m = valid[i_idx][:, None] & valid[j_idx][None, :]
+    # strictly upper-triangular: one pair per unordered pair
+    m &= i_idx[:, None] < j_idx[None, :]
+    # at least one dynamic (procedural) body
+    m &= dyn[i_idx][:, None] | dyn[j_idx][None, :]
+    # collision group/mask both ways
+    gi, mi = state.group[i_idx][:, None], state.mask[i_idx][:, None]
+    gj, mj = state.group[j_idx][None, :], state.mask[j_idx][None, :]
+    m &= ((gi & mj) != 0) & ((gj & mi) != 0)
+    # exclusion lists (fixed-width; reference comp/collision_exclusion.hpp)
+    ex_i = state.exclusions[i_idx]  # [B,E]
+    m &= ~jnp.any(ex_i[:, None, :] == j_idx[None, :, None], axis=-1)
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("max_pairs", "block"))
+def find_pairs(state, max_pairs: int, block: int = 256):
+    """Returns (keys[max_pairs] sorted asc, body_a, body_b, valid, dropped).
+
+    keys = a * N + b with a < b; INVALID_KEY marks padding. ``dropped`` counts
+    pairs lost to per-block capacity (should be 0 in practice; sized
+    generously).
+    """
+    N = state.capacity
+    amin, amax = state.aabb_min, state.aabb_max
+    n_blocks = -(-N // block)
+    pad = n_blocks * block - N
+    j_idx = jnp.arange(N)
+
+    # per-block candidate capacity: total budget spread with slack
+    kb = min(max(256, (max_pairs // n_blocks) * 4), block * N)
+
+    def do_block(i0):
+        i_idx = i0 + jnp.arange(block)
+        i_c = jnp.minimum(i_idx, N - 1)
+        m = _pair_filters(state, i_c, j_idx)
+        m &= i_idx[:, None] < N
+        # AABB overlap
+        o = jnp.all(amin[i_c][:, None, :] <= amax[None, :, :], axis=-1)
+        o &= jnp.all(amax[i_c][:, None, :] >= amin[None, :, :], axis=-1)
+        m &= o
+        flat = m.reshape(-1)
+        count = jnp.sum(flat)
+        (loc,) = jnp.nonzero(flat, size=kb, fill_value=-1)
+        ii = i_c[loc // N]
+        jj = loc % N
+        keys = jnp.where(loc >= 0, ii * N + jj, INVALID_KEY).astype(jnp.int32)
+        return keys, jnp.maximum(count - kb, 0)
+
+    starts = jnp.arange(n_blocks) * block
+    keys_blocks, dropped_blocks = jax.lax.map(do_block, starts)
+    all_keys = keys_blocks.reshape(-1)
+    all_keys = jnp.sort(all_keys)
+    keys = all_keys[:max_pairs]
+    total = jnp.sum(all_keys != INVALID_KEY)
+    dropped = jnp.sum(dropped_blocks) + jnp.maximum(total - max_pairs, 0)
+
+    valid = keys != INVALID_KEY
+    body_a = jnp.where(valid, keys // N, 0)
+    body_b = jnp.where(valid, keys % N, 0)
+    return keys, body_a, body_b, valid, dropped

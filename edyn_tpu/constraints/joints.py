@@ -1,0 +1,350 @@
+"""Non-contact constraints (joints) as batched solver rows.
+
+Covers the reference's constraint family (include/edyn/constraints/
+constraint.hpp:23-34): distance, soft_distance, point, hinge, cone, generic
+(6-DOF), cvjoint, gravity and null. Each joint type contributes rows into a
+single padded row table [J, MAX_JOINT_ROWS]; all types are evaluated masked
+(joints are few relative to contacts, so masked evaluation beats bucketing).
+
+Row semantics match SURVEY A.1: rhs = -(error * erp + relvel), impulses
+accumulated and clamped to [lower, upper], applied to delta velocities. The
+position-error terms use error/dt with erp = 0.2 like the reference's
+constraint_row_options.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax
+import jax.numpy as jnp
+
+from ..core.state import JointTable, MAX_JOINT_ROWS
+from ..math import quat, vec
+from ..dynamics.solver import BIG, degree_counts, eff_mass_of
+
+ERP = 0.2
+
+
+class JointType(enum.IntEnum):
+    NONE = 0
+    DISTANCE = 1       # reference: constraints/distance_constraint.hpp
+    SOFT_DISTANCE = 2  # reference: constraints/soft_distance_constraint.hpp
+    POINT = 3          # reference: constraints/point_constraint.hpp
+    HINGE = 4          # reference: constraints/hinge_constraint.hpp:22-115
+    CONE = 5           # reference: constraints/cone_constraint.hpp
+    GENERIC = 6        # reference: constraints/generic_constraint.hpp
+    CVJOINT = 7        # reference: constraints/cvjoint_constraint.hpp
+    GRAVITY = 8        # reference: constraints/gravity_constraint.hpp
+    NULL = 9           # reference: constraints/null_constraint.hpp:14
+
+
+def _dc(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_dc
+class JointRows:
+    """Flattened [J*MAX_JOINT_ROWS] generic rows."""
+    valid: jnp.ndarray
+    a: jnp.ndarray
+    b: jnp.ndarray
+    JlA: jnp.ndarray   # [R,3]
+    JaA: jnp.ndarray
+    JlB: jnp.ndarray
+    JaB: jnp.ndarray
+    inv_mA: jnp.ndarray
+    inv_mB: jnp.ndarray
+    inv_IA: jnp.ndarray
+    inv_IB: jnp.ndarray
+    eff_mass: jnp.ndarray
+    rhs: jnp.ndarray
+    lower: jnp.ndarray
+    upper: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# host-side packing
+# ---------------------------------------------------------------------------
+
+def pack_joints(joint_dicts: list, J: int) -> JointTable:
+    """Build the device JointTable from builder dicts (see
+    edyn_tpu.constraints.api factory functions)."""
+    import numpy as np
+    t = JointTable.zeros(J)
+    jtype = np.zeros((J,), np.int32)
+    body_a = np.zeros((J,), np.int32)
+    body_b = np.zeros((J,), np.int32)
+    valid = np.zeros((J,), bool)
+    pivot_a = np.zeros((J, 3), np.float32)
+    pivot_b = np.zeros((J, 3), np.float32)
+    frame_a = np.zeros((J, 4), np.float32); frame_a[:, 3] = 1
+    frame_b = np.zeros((J, 4), np.float32); frame_b[:, 3] = 1
+    params = np.zeros((J, 20), np.float32)
+    for i, jd in enumerate(joint_dicts):
+        jtype[i] = jd["jtype"]
+        body_a[i] = jd["body_a"]
+        body_b[i] = jd["body_b"]
+        valid[i] = True
+        pivot_a[i] = jd.get("pivot_a", (0, 0, 0))
+        pivot_b[i] = jd.get("pivot_b", (0, 0, 0))
+        frame_a[i] = jd.get("frame_a", (0, 0, 0, 1))
+        frame_b[i] = jd.get("frame_b", (0, 0, 0, 1))
+        p = jd.get("params", ())
+        params[i, :len(p)] = p
+    return dataclasses.replace(
+        t, jtype=jnp.asarray(jtype), body_a=jnp.asarray(body_a),
+        body_b=jnp.asarray(body_b), valid=jnp.asarray(valid),
+        pivot_a=jnp.asarray(pivot_a), pivot_b=jnp.asarray(pivot_b),
+        frame_a=jnp.asarray(frame_a), frame_b=jnp.asarray(frame_b),
+        params=jnp.asarray(params))
+
+
+# ---------------------------------------------------------------------------
+# row building
+# ---------------------------------------------------------------------------
+
+def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows:
+    jt = state.joints
+    Jn = jt.jtype.shape[0]
+    R = Jn * MAX_JOINT_ROWS
+
+    a = jt.body_a
+    b = jt.body_b
+    jvalid = jt.valid & ~(state.asleep[a] & state.asleep[b])
+    pos_a, orn_a = state.pos[a], state.orn[a]
+    pos_b, orn_b = state.pos[b], state.orn[b]
+    rA = quat.rotate(orn_a, jt.pivot_a)
+    rB = quat.rotate(orn_b, jt.pivot_b)
+    pa_w = pos_a + rA
+    pb_w = pos_b + rB
+    va, wa = state.linvel[a], state.angvel[a]
+    vb, wb = state.linvel[b], state.angvel[b]
+
+    # joint frames in world space
+    qa = quat.mul(orn_a, jt.frame_a)
+    qb = quat.mul(orn_b, jt.frame_b)
+    Ma = quat.to_matrix(qa)
+    Mb = quat.to_matrix(qb)
+    ax_a = Ma[..., :, 0]   # frame X axis = primary joint axis
+    ay_a = Ma[..., :, 1]
+    az_a = Ma[..., :, 2]
+    ax_b = Mb[..., :, 0]
+    ay_b = Mb[..., :, 1]
+    az_b = Mb[..., :, 2]
+
+    # row slots [Jn, MAX_JOINT_ROWS, ...]
+    JlA = jnp.zeros((Jn, MAX_JOINT_ROWS, 3))
+    JaA = jnp.zeros((Jn, MAX_JOINT_ROWS, 3))
+    JlB = jnp.zeros((Jn, MAX_JOINT_ROWS, 3))
+    JaB = jnp.zeros((Jn, MAX_JOINT_ROWS, 3))
+    rhs = jnp.zeros((Jn, MAX_JOINT_ROWS))
+    lower = jnp.full((Jn, MAX_JOINT_ROWS), -BIG)
+    upper = jnp.full((Jn, MAX_JOINT_ROWS), BIG)
+    rvalid = jnp.zeros((Jn, MAX_JOINT_ROWS), bool)
+
+    is_ = lambda t: jt.jtype == t
+
+    def set_row(slot, cond, jla, jaa, jlb, jab, r, lo=None, hi=None):
+        nonlocal JlA, JaA, JlB, JaB, rhs, lower, upper, rvalid
+        cond = cond & jvalid
+        JlA = JlA.at[:, slot].set(jnp.where(cond[:, None], jla, JlA[:, slot]))
+        JaA = JaA.at[:, slot].set(jnp.where(cond[:, None], jaa, JaA[:, slot]))
+        JlB = JlB.at[:, slot].set(jnp.where(cond[:, None], jlb, JlB[:, slot]))
+        JaB = JaB.at[:, slot].set(jnp.where(cond[:, None], jab, JaB[:, slot]))
+        rhs = rhs.at[:, slot].set(jnp.where(cond, r, rhs[:, slot]))
+        if lo is not None:
+            lower = lower.at[:, slot].set(jnp.where(cond, lo, lower[:, slot]))
+        if hi is not None:
+            upper = upper.at[:, slot].set(jnp.where(cond, hi, upper[:, slot]))
+        rvalid = rvalid.at[:, slot].set(rvalid[:, slot] | cond)
+
+    zero3 = jnp.zeros((Jn, 3))
+    err = pa_w - pb_w
+    relvel_at = lambda d: (vec.dot(d, va) + vec.dot(jnp.cross(rA, d), wa)
+                           - vec.dot(d, vb) - vec.dot(jnp.cross(rB, d), wb))
+
+    # --- point / hinge / cvjoint / generic share 3 positional lock rows ---
+    point_like = is_(JointType.POINT) | is_(JointType.HINGE) | \
+        is_(JointType.CVJOINT) | is_(JointType.GENERIC)
+    world_axes = jnp.eye(3)
+    for k in range(3):
+        d = jnp.broadcast_to(world_axes[k], (Jn, 3))
+        r = -(vec.dot(err, d) / dt * ERP + relvel_at(d))
+        set_row(k, point_like, d, jnp.cross(rA, d), -d, -jnp.cross(rB, d), r)
+
+    # --- distance: single row along the pivot separation ---
+    dist_len = vec.length(err)
+    d_dir = vec.normalize_or(err, jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), err.shape))
+    rest_len = jt.params[:, 0]
+    r_dist = -((dist_len - rest_len) / dt * ERP + relvel_at(d_dir))
+    set_row(0, is_(JointType.DISTANCE), d_dir, jnp.cross(rA, d_dir),
+            -d_dir, -jnp.cross(rB, d_dir), r_dist)
+
+    # --- soft distance: spring (exact impulse) + damper row ---
+    # params: [rest_len, stiffness, damping]
+    stiff = jt.params[:, 1]
+    damp = jt.params[:, 2]
+    spring_F = stiff * (dist_len - rest_len)
+    spring_imp = spring_F * dt
+    set_row(0, is_(JointType.SOFT_DISTANCE), d_dir, jnp.cross(rA, d_dir),
+            -d_dir, -jnp.cross(rB, d_dir), jnp.zeros(Jn),
+            lo=-jnp.abs(spring_imp), hi=jnp.abs(spring_imp))
+    # steer the spring row to pull toward rest length: rhs drives relvel to
+    # remove stretch over one step
+    rhs = rhs.at[:, 0].set(jnp.where(is_(JointType.SOFT_DISTANCE),
+                                     -(dist_len - rest_len) / dt, rhs[:, 0]))
+    damp_imp = damp * dt
+    set_row(1, is_(JointType.SOFT_DISTANCE), d_dir, jnp.cross(rA, d_dir),
+            -d_dir, -jnp.cross(rB, d_dir), -relvel_at(d_dir) * 0 - relvel_at(d_dir),
+            lo=-damp_imp, hi=damp_imp)
+
+    # --- hinge: 2 angular alignment rows + limits + friction/damping/spring ---
+    # params: [limit_min, limit_max, limit_restitution, bump_stop_stiffness,
+    #          bump_stop_len, friction_torque, damping, spring_stiffness,
+    #          spring_rest_angle, has_limit]
+    hinge = is_(JointType.HINGE)
+    # B's hinge axis must stay aligned with A's: constrain rotation about the
+    # two axes orthogonal to A's hinge axis (reference hinge_constraint.cpp).
+    for k, u in enumerate((ay_a, az_a)):
+        misalign = vec.dot(u, ax_b)
+        r = -(misalign / dt * ERP + (vec.dot(u, wa) - vec.dot(u, wb)))
+        set_row(3 + k, hinge, zero3, u, zero3, -u, r)
+    # hinge angle about the axis: angle between ay_a and ay_b projected
+    sin_a = vec.dot(jnp.cross(ay_a, ay_b), ax_a)
+    cos_a = vec.dot(ay_a, ay_b)
+    angle = jnp.arctan2(sin_a, cos_a)
+    has_limit = jt.params[:, 9] > 0.5
+    lim_min = jt.params[:, 0]
+    lim_max = jt.params[:, 1]
+    below = angle < lim_min
+    above = angle > lim_max
+    lim_err = jnp.where(below, angle - lim_min, jnp.where(above, angle - lim_max, 0.0))
+    relw = vec.dot(ax_a, wa) - vec.dot(ax_a, wb)
+    r_lim = -(lim_err / dt * ERP + relw)
+    lo_lim = jnp.where(below, 0.0, -BIG)
+    hi_lim = jnp.where(above, 0.0, BIG)
+    set_row(5, hinge & has_limit & (below | above), zero3, ax_a, zero3, -ax_a,
+            r_lim, lo=lo_lim, hi=hi_lim)
+    # friction + damping torque about the axis
+    fr_t = jt.params[:, 5]
+    dampg = jt.params[:, 6]
+    max_fr = fr_t * dt + jnp.abs(relw) * dampg * dt
+    set_row(6, hinge & (max_fr > 0), zero3, ax_a, zero3, -ax_a, -relw,
+            lo=-max_fr, hi=max_fr)
+    # torsional spring toward rest angle
+    spring_k = jt.params[:, 7]
+    rest_ang = jt.params[:, 8]
+    spr_imp = jnp.abs(spring_k * (angle - rest_ang)) * dt
+    set_row(7, hinge & (spring_k > 0), zero3, ax_a, zero3, -ax_a,
+            -( (angle - rest_ang) / dt ), lo=-spr_imp, hi=spr_imp)
+
+    # --- cone: keep B's x-axis inside elliptic cone around A's x-axis ---
+    # params: [span_y_tan, span_z_tan]
+    cone = is_(JointType.CONE)
+    # direction of B's axis in A's cone frame
+    bx = jnp.stack([vec.dot(ax_b, ax_a), vec.dot(ax_b, ay_a), vec.dot(ax_b, az_a)], -1)
+    ty = jt.params[:, 0]
+    tz = jt.params[:, 1]
+    # violation measure: ellipse test on (y,z)/x
+    xpos = jnp.maximum(bx[:, 0], 1e-3)
+    ey = bx[:, 1] / (xpos * jnp.maximum(ty, 1e-6))
+    ez = bx[:, 2] / (xpos * jnp.maximum(tz, 1e-6))
+    viol = ey * ey + ez * ez - 1.0
+    violated = cone & (viol > 0)
+    # corrective axis: rotate B axis toward cone axis around u = ax_b x ax_a
+    u_corr = vec.normalize_or(jnp.cross(ax_b, ax_a),
+                              jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), ax_a.shape))
+    relw_c = vec.dot(u_corr, wa) - vec.dot(u_corr, wb)
+    r_cone = -(viol / dt * ERP * 0.5 + relw_c)
+    set_row(8, violated, zero3, u_corr, zero3, -u_corr, r_cone, lo=0.0, hi=BIG)
+
+    # --- generic: 3 angular lock rows (full 6-DOF lock by default) ---
+    # params: ang_lock_mask[0:3] (1 = locked)
+    gen = is_(JointType.GENERIC)
+    for k, u in enumerate((ax_a, ay_a, az_a)):
+        locked = gen & (jt.params[:, k] > 0.5)
+        u_b = (ax_b, ay_b, az_b)[(k + 1) % 3]
+        u_a = (ax_a, ay_a, az_a)[(k + 1) % 3]
+        # misalignment about u: project relative twist
+        mis = vec.dot(jnp.cross(u_a, u_b), u)
+        r = -(mis / dt * ERP + (vec.dot(u, wa) - vec.dot(u, wb)))
+        set_row(3 + k, locked, zero3, u, zero3, -u, r)
+
+    # --- cvjoint: twist alignment about the primary axis ---
+    cv = is_(JointType.CVJOINT)
+    twist = vec.dot(jnp.cross(ay_a, ay_b), ax_a)
+    r_tw = -(twist / dt * ERP + (vec.dot(ax_a, wa) - vec.dot(ax_a, wb)))
+    set_row(3, cv, zero3, ax_a, zero3, -ax_a, r_tw)
+
+    # --- flatten ---
+    flat = lambda x: x.reshape((R,) + x.shape[2:])
+    a_r = jnp.repeat(a, MAX_JOINT_ROWS)
+    b_r = jnp.repeat(b, MAX_JOINT_ROWS)
+    valid_r = flat(rvalid)
+    inv_mA = jnp.where(valid_r, state.mass_inv[a_r], 0.0)
+    inv_mB = jnp.where(valid_r, state.mass_inv[b_r], 0.0)
+    Iw = state.inertia_world_inv()
+    inv_IA = Iw[a_r] * valid_r[:, None, None]
+    inv_IB = Iw[b_r] * valid_r[:, None, None]
+    if mass_splitting:
+        deg = degree_counts(state.capacity, [a_r, b_r], [valid_r, valid_r])
+        degA, degB = deg[a_r], deg[b_r]
+    else:
+        degA = degB = 1.0
+    em = eff_mass_of(flat(JlA), flat(JaA), flat(JlB), flat(JaB),
+                     inv_mA * degA, inv_IA * degA[:, None, None],
+                     inv_mB * degB, inv_IB * degB[:, None, None])
+    return JointRows(
+        valid=valid_r, a=a_r, b=b_r,
+        JlA=flat(JlA), JaA=flat(JaA), JlB=flat(JlB), JaB=flat(JaB),
+        inv_mA=inv_mA, inv_mB=inv_mB, inv_IA=inv_IA, inv_IB=inv_IB,
+        eff_mass=em, rhs=flat(rhs), lower=flat(lower), upper=flat(upper))
+
+
+def _apply(rows: JointRows, dlam, dv, dw):
+    dlam = jnp.where(rows.valid, dlam, 0.0)
+    dv = dv.at[rows.a].add(rows.inv_mA[:, None] * rows.JlA * dlam[:, None])
+    dw = dw.at[rows.a].add(
+        jnp.einsum("rij,rj->ri", rows.inv_IA, rows.JaA) * dlam[:, None])
+    dv = dv.at[rows.b].add(rows.inv_mB[:, None] * rows.JlB * dlam[:, None])
+    dw = dw.at[rows.b].add(
+        jnp.einsum("rij,rj->ri", rows.inv_IB, rows.JaB) * dlam[:, None])
+    return dv, dw
+
+
+def warm_start_joints(rows: JointRows, impulses, dv, dw):
+    return _apply(rows, impulses.reshape(-1), dv, dw)
+
+
+def solve_joints_once(rows: JointRows, impulses, dv, dw):
+    imp = impulses.reshape(-1)
+    drel = (vec.dot(rows.JlA, dv[rows.a]) + vec.dot(rows.JaA, dw[rows.a])
+            + vec.dot(rows.JlB, dv[rows.b]) + vec.dot(rows.JaB, dw[rows.b]))
+    dlam = (rows.rhs - drel) * rows.eff_mass
+    new = jnp.clip(imp + dlam, rows.lower, rows.upper)
+    dlam = new - imp
+    dv, dw = _apply(rows, dlam, dv, dw)
+    return new.reshape(impulses.shape), dv, dw
+
+
+def apply_gravity_joints(state, dt: float):
+    """Pairwise gravitational attraction (reference:
+    src/edyn/constraints/gravity_constraint.cpp). Applied directly to
+    velocities, not as a solver row."""
+    jt = state.joints
+    G = 6.674e-11
+    mask = jt.valid & (jt.jtype == JointType.GRAVITY)
+    a, b = jt.body_a, jt.body_b
+    d = state.pos[b] - state.pos[a]
+    r2 = jnp.maximum(vec.length_sqr(d), 1e-12)
+    dir_ = d / jnp.sqrt(r2)[:, None]
+    mA = jnp.where(state.mass_inv[a] > 0, 1.0 / jnp.maximum(state.mass_inv[a], 1e-12), 0.0)
+    mB = jnp.where(state.mass_inv[b] > 0, 1.0 / jnp.maximum(state.mass_inv[b], 1e-12), 0.0)
+    F = jnp.where(mask, G * mA * mB / r2, 0.0)
+    dva = dir_ * (F * state.mass_inv[a] * dt)[:, None]
+    dvb = -dir_ * (F * state.mass_inv[b] * dt)[:, None]
+    linvel = state.linvel.at[a].add(dva).at[b].add(dvb)
+    return dataclasses.replace(state, linvel=linvel)

@@ -1,0 +1,227 @@
+"""Scene building: rigidbody_def -> SoA world state.
+
+Mirrors the reference's scene-building API (include/edyn/util/rigidbody.hpp:29-75
+rigidbody_def; src/edyn/util/rigidbody.cpp make_rigidbody) on the host side in
+numpy, then freezes into a device-resident ``WorldState``. Capacity is fixed at
+finalize; bodies added later claim free slots functionally.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..shapes.params import (
+    ShapeType, SphereShape, BoxShape, CapsuleShape, CylinderShape, PlaneShape,
+    PolyhedronShape, CompoundShape, MeshShape, pack_polyhedra,
+)
+from ..shapes.inertia import moment_of_inertia, polyhedron_inertia
+from .state import (
+    WorldState, ContactTable, JointTable, PolyTable,
+    KIND_DYNAMIC, KIND_KINEMATIC, KIND_STATIC, MAX_EXCLUSIONS,
+)
+
+ALL_GROUPS = 0xFFFFFFFF
+
+
+@dataclasses.dataclass
+class Material:
+    """Reference: include/edyn/comp/material.hpp:15-31."""
+    restitution: float = 0.0
+    friction: float = 0.5
+    spin_friction: float = 0.0
+    roll_friction: float = 0.0
+    stiffness: float = 1e10   # >= LARGE_SCALAR => rigid contact
+    damping: float = 1e10
+    id: int = -1              # material-mixing pair-table id
+
+
+@dataclasses.dataclass
+class RigidBodyDef:
+    """Reference: rigidbody_def (include/edyn/util/rigidbody.hpp:29-75)."""
+    kind: int = KIND_DYNAMIC
+    position: Sequence[float] = (0.0, 0.0, 0.0)
+    orientation: Sequence[float] = (0.0, 0.0, 0.0, 1.0)  # xyzw
+    mass: float = 1.0
+    inertia: Optional[np.ndarray] = None  # 3x3 or diag-3; computed from shape if None
+    linvel: Sequence[float] = (0.0, 0.0, 0.0)
+    angvel: Sequence[float] = (0.0, 0.0, 0.0)
+    center_of_mass: Optional[Sequence[float]] = None
+    gravity: Optional[Sequence[float]] = None
+    shape: object = None  # one of the *Shape descriptors or None (amorphous)
+    material: Optional[Material] = dataclasses.field(default_factory=Material)
+    collision_group: int = ALL_GROUPS
+    collision_mask: int = ALL_GROUPS
+    presentation: bool = True
+    sleeping_disabled: bool = False
+    networked: bool = False
+
+
+class WorldBuilder:
+    """Accumulates bodies/joints host-side; ``finalize()`` produces the device
+    WorldState. Capacities (bodies / manifolds / joints) are padded to the
+    requested sizes; the reference's dynamic entity creation maps to claiming
+    pre-allocated slots (SURVEY §7 hard part 5)."""
+
+    def __init__(self, gravity=(0.0, -9.8, 0.0)):
+        self.default_gravity = np.asarray(gravity, np.float64)
+        self.defs: list[RigidBodyDef] = []
+        self.joints: list[dict] = []
+        self._polyhedra: list[PolyhedronShape] = []
+        self._poly_index: dict[int, int] = {}  # id(shape) -> table idx
+        self.exclusions: list[tuple[int, int]] = []
+
+    # -- bodies ---------------------------------------------------------
+    def make_rigidbody(self, def_: RigidBodyDef) -> int:
+        """Returns the body's slot index (the "entity id")."""
+        idx = len(self.defs)
+        self.defs.append(def_)
+        if isinstance(def_.shape, PolyhedronShape):
+            key = id(def_.shape)
+            if key not in self._poly_index:
+                self._poly_index[key] = len(self._polyhedra)
+                self._polyhedra.append(def_.shape)
+        return idx
+
+    def exclude_collision(self, a: int, b: int):
+        """Reference: include/edyn/util/exclude_collision.hpp."""
+        self.exclusions.append((a, b))
+
+    # -- joints (filled in by constraints.joints helpers) ---------------
+    def _add_joint(self, **kw) -> int:
+        self.joints.append(kw)
+        return len(self.joints) - 1
+
+    # -- finalize -------------------------------------------------------
+    def finalize(self, capacity: Optional[int] = None,
+                 max_manifolds: Optional[int] = None,
+                 max_joints: Optional[int] = None) -> WorldState:
+        n = len(self.defs)
+        N = capacity or max(n, 1)
+        assert N >= n
+        M = max_manifolds if max_manifolds is not None else max(64, 8 * N)
+        J = max_joints if max_joints is not None else max(len(self.joints), 1)
+
+        poly_np = pack_polyhedra(self._polyhedra)
+        poly = PolyTable(
+            verts=jnp.asarray(poly_np.verts), vert_mask=jnp.asarray(poly_np.vert_mask),
+            face_normals=jnp.asarray(poly_np.face_normals),
+            face_mask=jnp.asarray(poly_np.face_mask),
+            edge_dirs=jnp.asarray(poly_np.edge_dirs),
+            edge_mask=jnp.asarray(poly_np.edge_mask),
+        ) if poly_np.verts.shape[0] else PolyTable.empty()
+
+        # host staging
+        f = np.float32
+        pos = np.zeros((N, 3), f)
+        orn = np.zeros((N, 4), f); orn[:, 3] = 1
+        linvel = np.zeros((N, 3), f)
+        angvel = np.zeros((N, 3), f)
+        mass_inv = np.zeros((N,), f)
+        inertia_inv = np.zeros((N, 3, 3), f)
+        restitution = np.zeros((N,), f)
+        friction = np.full((N,), 0.5, f)
+        spin_fr = np.zeros((N,), f)
+        roll_fr = np.zeros((N,), f)
+        stiffness = np.full((N,), 1e10, f)
+        damping = np.full((N,), 1e10, f)
+        has_mat = np.zeros((N,), bool)
+        mat_id = np.full((N,), -1, np.int32)
+        gravity = np.zeros((N, 3), f)
+        kind = np.full((N,), KIND_STATIC, np.int32)
+        valid = np.zeros((N,), bool)
+        sleeping_dis = np.zeros((N,), bool)
+        networked = np.zeros((N,), bool)
+        group = np.full((N,), ALL_GROUPS, np.uint32)
+        mask = np.full((N,), ALL_GROUPS, np.uint32)
+        excl = np.full((N, MAX_EXCLUSIONS), -1, np.int32)
+        stype = np.zeros((N,), np.int32)
+        sparams = np.zeros((N, 4), f)
+        sindex = np.zeros((N,), np.int32)
+
+        for i, d in enumerate(self.defs):
+            valid[i] = True
+            kind[i] = d.kind
+            pos[i] = d.position
+            orn[i] = d.orientation
+            orn[i] /= np.linalg.norm(orn[i])
+            linvel[i] = d.linvel
+            angvel[i] = d.angvel
+            gravity[i] = d.gravity if d.gravity is not None else (
+                self.default_gravity if d.kind == KIND_DYNAMIC else 0.0)
+            sleeping_dis[i] = d.sleeping_disabled
+            networked[i] = d.networked
+            group[i] = d.collision_group
+            mask[i] = d.collision_mask
+
+            sh = d.shape
+            if sh is None:
+                stype[i] = ShapeType.NONE
+            elif isinstance(sh, PolyhedronShape):
+                stype[i] = ShapeType.POLYHEDRON
+                sindex[i] = self._poly_index[id(sh)]
+                sparams[i, 0] = sindex[i]
+            elif isinstance(sh, (CompoundShape, MeshShape)):
+                raise NotImplementedError(
+                    "compound/trimesh packing lands with their kernels")
+            else:
+                st, prm = sh.pack()
+                stype[i] = st
+                sparams[i] = prm
+
+            if d.kind == KIND_DYNAMIC:
+                assert d.mass > 0 and np.isfinite(d.mass), \
+                    "dynamic body needs finite positive mass (reference asserts the same)"
+                mass_inv[i] = 1.0 / d.mass
+                if d.inertia is not None:
+                    I = np.asarray(d.inertia, np.float64)
+                    I = np.diag(I) if I.ndim == 1 else I
+                elif isinstance(sh, PolyhedronShape):
+                    I = polyhedron_inertia(sh.vertices, d.mass)
+                elif sh is not None:
+                    I = np.diag(moment_of_inertia(int(stype[i]), sparams[i], d.mass))
+                else:
+                    raise ValueError("dynamic amorphous body requires explicit inertia "
+                                     "(reference: rigidbody.hpp:41-43)")
+                inertia_inv[i] = np.linalg.inv(I)
+
+            if d.material is not None:
+                has_mat[i] = True
+                m = d.material
+                restitution[i] = m.restitution
+                friction[i] = m.friction
+                spin_fr[i] = m.spin_friction
+                roll_fr[i] = m.roll_friction
+                stiffness[i] = m.stiffness
+                damping[i] = m.damping
+                mat_id[i] = m.id
+
+        for a, b in self.exclusions:
+            for (x, y) in ((a, b), (b, a)):
+                slot = np.argmax(excl[x] == -1)
+                excl[x, slot] = y
+
+        ws = WorldState.zeros(N, M, J, poly)
+        ws = dataclasses.replace(
+            ws,
+            pos=jnp.asarray(pos), orn=jnp.asarray(orn),
+            linvel=jnp.asarray(linvel), angvel=jnp.asarray(angvel),
+            mass_inv=jnp.asarray(mass_inv), inertia_inv=jnp.asarray(inertia_inv),
+            restitution=jnp.asarray(restitution), friction=jnp.asarray(friction),
+            spin_friction=jnp.asarray(spin_fr), roll_friction=jnp.asarray(roll_fr),
+            stiffness=jnp.asarray(stiffness), damping=jnp.asarray(damping),
+            has_material=jnp.asarray(has_mat), material_id=jnp.asarray(mat_id),
+            gravity=jnp.asarray(gravity), kind=jnp.asarray(kind),
+            valid=jnp.asarray(valid), sleeping_disabled=jnp.asarray(sleeping_dis),
+            networked=jnp.asarray(networked),
+            group=jnp.asarray(group), mask=jnp.asarray(mask),
+            exclusions=jnp.asarray(excl),
+            shape_type=jnp.asarray(stype), shape_params=jnp.asarray(sparams),
+            shape_index=jnp.asarray(sindex),
+        )
+        if self.joints:
+            from ..constraints.joints import pack_joints
+            ws = dataclasses.replace(ws, joints=pack_joints(self.joints, J))
+        return ws

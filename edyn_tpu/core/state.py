@@ -1,0 +1,259 @@
+"""The world state: a fixed-capacity structure-of-arrays pytree.
+
+TPU-native replacement for the reference's EnTT registry + component structs
+(SURVEY §2.2; include/edyn/comp/*.hpp). Every component becomes a column of a
+dataclass pytree; tags become boolean masks; entity ids become array slots.
+The whole world steps as one jitted function over this pytree — there is no
+per-entity host work (reference analogue: the simulation worker's registry,
+src/edyn/simulation/simulation_worker.cpp:62-497).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MAX_CONTACTS
+
+# rigidbody kinds (reference: include/edyn/util/rigidbody.hpp:16-25)
+KIND_DYNAMIC = 0
+KIND_KINEMATIC = 1
+KIND_STATIC = 2
+
+MAX_EXCLUSIONS = 16  # reference: comp/collision_exclusion.hpp max_exclusions
+MAX_JOINT_ROWS = 12  # enough for generic 6-DOF + limit/spring/friction rows
+
+
+def _dc(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_dc
+class ContactTable:
+    """Persistent 4-point contact manifolds, one row per body pair.
+
+    Reference analogue: contact_manifold + the 6 contact_point components
+    (include/edyn/collision/contact_manifold.hpp:14-29,
+    include/edyn/collision/contact_point.hpp:17-66). ``key`` is the sorted
+    pair key ``a * N + b`` used for sort/searchsorted persistence matching
+    (replaces contact_manifold_map, include/edyn/collision/contact_manifold_map.hpp).
+    """
+    key: jnp.ndarray            # [M] int32, -1 when invalid (sorted ascending, invalid last)
+    body_a: jnp.ndarray         # [M] int32
+    body_b: jnp.ndarray         # [M] int32
+    valid: jnp.ndarray          # [M] bool
+    point_valid: jnp.ndarray    # [M,4] bool
+    pivot_a: jnp.ndarray        # [M,4,3] contact point in A's object space
+    pivot_b: jnp.ndarray        # [M,4,3] contact point in B's object space
+    local_normal: jnp.ndarray   # [M,4,3] normal in attachment body's object space
+    normal_attachment: jnp.ndarray  # [M,4] int32: 0 none, 1 A, 2 B
+    distance: jnp.ndarray       # [M,4] signed separation along normal
+    lifetime: jnp.ndarray       # [M,4] int32 steps alive
+    normal_impulse: jnp.ndarray    # [M,4]
+    friction_impulse: jnp.ndarray  # [M,4,2]
+    spin_impulse: jnp.ndarray      # [M,4]
+    roll_impulse: jnp.ndarray      # [M,4,2]
+
+    @staticmethod
+    def zeros(M: int) -> "ContactTable":
+        return ContactTable(
+            key=jnp.full((M,), jnp.iinfo(jnp.int32).max, jnp.int32),
+            body_a=jnp.zeros((M,), jnp.int32),
+            body_b=jnp.zeros((M,), jnp.int32),
+            valid=jnp.zeros((M,), bool),
+            point_valid=jnp.zeros((M, MAX_CONTACTS), bool),
+            pivot_a=jnp.zeros((M, MAX_CONTACTS, 3)),
+            pivot_b=jnp.zeros((M, MAX_CONTACTS, 3)),
+            local_normal=jnp.zeros((M, MAX_CONTACTS, 3)),
+            normal_attachment=jnp.zeros((M, MAX_CONTACTS), jnp.int32),
+            distance=jnp.zeros((M, MAX_CONTACTS)),
+            lifetime=jnp.zeros((M, MAX_CONTACTS), jnp.int32),
+            normal_impulse=jnp.zeros((M, MAX_CONTACTS)),
+            friction_impulse=jnp.zeros((M, MAX_CONTACTS, 2)),
+            spin_impulse=jnp.zeros((M, MAX_CONTACTS)),
+            roll_impulse=jnp.zeros((M, MAX_CONTACTS, 2)),
+        )
+
+
+@_dc
+class JointTable:
+    """Non-contact constraints (the reference's 10 constraint types,
+    include/edyn/constraints/constraint.hpp:23-34) as one padded SoA table.
+    ``params`` packs per-type fields; ``impulses`` stores warm-start values
+    per conceptual row."""
+    jtype: jnp.ndarray      # [J] int32 (JointType enum; 0 = none)
+    body_a: jnp.ndarray     # [J] int32
+    body_b: jnp.ndarray     # [J] int32
+    valid: jnp.ndarray      # [J] bool
+    pivot_a: jnp.ndarray    # [J,3]
+    pivot_b: jnp.ndarray    # [J,3]
+    frame_a: jnp.ndarray    # [J,4] quat frame on A (hinge/cv/generic/cone)
+    frame_b: jnp.ndarray    # [J,4]
+    params: jnp.ndarray     # [J,20] type-specific packed parameters
+    impulses: jnp.ndarray   # [J,MAX_JOINT_ROWS] warm-start impulses
+
+    @staticmethod
+    def zeros(J: int) -> "JointTable":
+        ident = jnp.zeros((J, 4)).at[:, 3].set(1.0)
+        return JointTable(
+            jtype=jnp.zeros((J,), jnp.int32),
+            body_a=jnp.zeros((J,), jnp.int32),
+            body_b=jnp.zeros((J,), jnp.int32),
+            valid=jnp.zeros((J,), bool),
+            pivot_a=jnp.zeros((J, 3)),
+            pivot_b=jnp.zeros((J, 3)),
+            frame_a=ident,
+            frame_b=ident,
+            params=jnp.zeros((J, 20)),
+            impulses=jnp.zeros((J, MAX_JOINT_ROWS)),
+        )
+
+
+@_dc
+class PolyTable:
+    """Device-side polyhedron side table (see shapes.params.PolyhedronTable)."""
+    verts: jnp.ndarray
+    vert_mask: jnp.ndarray
+    face_normals: jnp.ndarray
+    face_mask: jnp.ndarray
+    edge_dirs: jnp.ndarray
+    edge_mask: jnp.ndarray
+
+    @staticmethod
+    def empty() -> "PolyTable":
+        z3 = jnp.zeros((0, 1, 3))
+        z1 = jnp.zeros((0, 1), bool)
+        return PolyTable(z3, z1, z3, z1, z3, z1)
+
+
+@_dc
+class WorldState:
+    """Everything about the simulated world, as one pytree.
+
+    Columns map 1:1 to reference components (SURVEY §2.2):
+    pos/orn (position/orientation), linvel/angvel, mass_inv,
+    inertia_inv (local-space inverse inertia tensor; world-space recomputed on
+    the fly, reference comp/inertia.hpp inertia_world_inv), material columns
+    (comp/material.hpp:15-31), kind+masks (comp/tag.hpp), collision filter
+    (comp/collision_filter.hpp), shape_type/params (shapes variant +
+    comp/shape_index.hpp), AABBs (comp/aabb.hpp), islands & sleeping
+    (comp/island.hpp, sleeping_tag).
+    """
+    # kinematic state
+    pos: jnp.ndarray          # [N,3]
+    orn: jnp.ndarray          # [N,4] xyzw
+    linvel: jnp.ndarray       # [N,3]
+    angvel: jnp.ndarray       # [N,3]
+    # mass properties
+    mass_inv: jnp.ndarray     # [N]
+    inertia_inv: jnp.ndarray  # [N,3,3] local-space inverse inertia
+    # material (has_material=False => sensor: detects but doesn't respond)
+    restitution: jnp.ndarray  # [N]
+    friction: jnp.ndarray     # [N]
+    spin_friction: jnp.ndarray
+    roll_friction: jnp.ndarray
+    stiffness: jnp.ndarray
+    damping: jnp.ndarray
+    has_material: jnp.ndarray  # [N] bool
+    material_id: jnp.ndarray   # [N] int32 (material-mixing pair table id)
+    gravity: jnp.ndarray      # [N,3]
+    # classification
+    kind: jnp.ndarray         # [N] int32 (KIND_*)
+    valid: jnp.ndarray        # [N] bool — slot allocated
+    sleeping_disabled: jnp.ndarray  # [N] bool
+    networked: jnp.ndarray    # [N] bool
+    # collision filtering
+    group: jnp.ndarray        # [N] uint32
+    mask: jnp.ndarray         # [N] uint32
+    exclusions: jnp.ndarray   # [N,MAX_EXCLUSIONS] int32, -1 empty
+    # shape
+    shape_type: jnp.ndarray   # [N] int32
+    shape_params: jnp.ndarray  # [N,4]
+    shape_index: jnp.ndarray  # [N] int32 index into side tables
+    # derived
+    aabb_min: jnp.ndarray     # [N,3]
+    aabb_max: jnp.ndarray     # [N,3]
+    # islands & sleeping (mask-based; SURVEY §5.7)
+    island_id: jnp.ndarray    # [N] int32
+    sleep_timer: jnp.ndarray  # [N]
+    asleep: jnp.ndarray       # [N] bool
+    # sub-tables
+    contacts: ContactTable
+    joints: JointTable
+    poly: PolyTable
+    # clock
+    step_count: jnp.ndarray   # [] int32
+    sim_time: jnp.ndarray     # [] float32
+
+    # --- convenience ---
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def is_dynamic(self):
+        return (self.kind == KIND_DYNAMIC) & self.valid
+
+    @property
+    def is_static(self):
+        return (self.kind == KIND_STATIC) & self.valid
+
+    @property
+    def is_kinematic(self):
+        return (self.kind == KIND_KINEMATIC) & self.valid
+
+    @property
+    def awake_dynamic(self):
+        return self.is_dynamic & ~self.asleep
+
+    @staticmethod
+    def zeros(N: int, M: int, J: int, poly: PolyTable | None = None) -> "WorldState":
+        ident = jnp.zeros((N, 4)).at[:, 3].set(1.0)
+        return WorldState(
+            pos=jnp.zeros((N, 3)),
+            orn=ident,
+            linvel=jnp.zeros((N, 3)),
+            angvel=jnp.zeros((N, 3)),
+            mass_inv=jnp.zeros((N,)),
+            inertia_inv=jnp.zeros((N, 3, 3)),
+            restitution=jnp.zeros((N,)),
+            friction=jnp.full((N,), 0.5),
+            spin_friction=jnp.zeros((N,)),
+            roll_friction=jnp.zeros((N,)),
+            stiffness=jnp.full((N,), 1e10),
+            damping=jnp.full((N,), 1e10),
+            has_material=jnp.zeros((N,), bool),
+            material_id=jnp.full((N,), -1, jnp.int32),
+            gravity=jnp.zeros((N, 3)),
+            kind=jnp.full((N,), KIND_STATIC, jnp.int32),
+            valid=jnp.zeros((N,), bool),
+            sleeping_disabled=jnp.zeros((N,), bool),
+            networked=jnp.zeros((N,), bool),
+            group=jnp.full((N,), 0xFFFFFFFF, jnp.uint32),
+            mask=jnp.full((N,), 0xFFFFFFFF, jnp.uint32),
+            exclusions=jnp.full((N, MAX_EXCLUSIONS), -1, jnp.int32),
+            shape_type=jnp.zeros((N,), jnp.int32),
+            shape_params=jnp.zeros((N, 4)),
+            shape_index=jnp.zeros((N,), jnp.int32),
+            aabb_min=jnp.zeros((N, 3)),
+            aabb_max=jnp.zeros((N, 3)),
+            island_id=jnp.full((N,), -1, jnp.int32),
+            sleep_timer=jnp.zeros((N,)),
+            asleep=jnp.zeros((N,), bool),
+            contacts=ContactTable.zeros(M),
+            joints=JointTable.zeros(J),
+            poly=poly if poly is not None else PolyTable.empty(),
+            step_count=jnp.zeros((), jnp.int32),
+            sim_time=jnp.zeros(()),
+        )
+
+    def inertia_world_inv(self):
+        """World-space inverse inertia R I_l^-1 R^T per body (reference:
+        sys/update_inertias.hpp)."""
+        from ..math import quat
+        R = quat.to_matrix(self.orn)
+        return jnp.einsum("...ij,...jk,...lk->...il", R, self.inertia_inv, R)

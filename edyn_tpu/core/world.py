@@ -1,0 +1,156 @@
+"""World: the user-facing handle around the state pytree + jitted stepper.
+
+Plays the role of the reference's public API surface
+(include/edyn/edyn.hpp:66-150 attach/update/step_simulation) and the
+fixed-timestep accumulator (src/edyn/simulation/stepper_sequential.cpp:45-65).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Settings
+from ..simulation.stepper import SceneMeta, physics_step
+from .builder import WorldBuilder
+from .state import WorldState
+
+
+def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
+                **kw) -> SceneMeta:
+    """Compute the static scene facts from a freshly built state (host read —
+    done once at attach time, like the reference's engine init)."""
+    stypes = np.asarray(state.shape_type)
+    valid = np.asarray(state.valid)
+    present = frozenset(int(t) for t in np.unique(stypes[valid]))
+    if max_pairs is None:
+        n = int(valid.sum())
+        max_pairs = max(256, min(16 * n, 1 << 18))
+    return SceneMeta(types_present=present, max_pairs=max_pairs, **kw)
+
+
+class World:
+    """Owns the device state and drives the jitted step."""
+
+    def __init__(self, state: WorldState, settings: Settings = Settings(),
+                 meta: Optional[SceneMeta] = None):
+        self.state = state
+        self.settings = settings
+        self.meta = meta or derive_meta(state)
+        self._accumulator = 0.0
+        self._last_time: Optional[float] = None
+
+    # -- stepping -------------------------------------------------------
+    def step(self, n: int = 1):
+        """Advance n fixed-dt steps (reference: edyn::step_simulation)."""
+        for _ in range(n):
+            self.state = physics_step(self.state, self.settings, self.meta)
+        return self
+
+    def update(self, elapsed: Optional[float] = None):
+        """Variable-rate update with the fixed-dt accumulator (reference:
+        stepper_sequential::update, including the max_steps cap that slows the
+        simulation instead of spiraling)."""
+        now = time.perf_counter()
+        if elapsed is None:
+            elapsed = 0.0 if self._last_time is None else now - self._last_time
+        self._last_time = now
+        if self.settings.paused:
+            return self
+        self._accumulator += elapsed
+        num = int(self._accumulator // self.settings.fixed_dt)
+        num = min(num, self.settings.max_steps_per_update)
+        self._accumulator -= num * self.settings.fixed_dt
+        return self.step(num)
+
+    def block_until_ready(self):
+        jax.block_until_ready(self.state)
+        return self
+
+    # -- settings (reference: edyn.cpp:199-231 setters + refresh) -------
+    def set_settings(self, **kw):
+        self.settings = self.settings.replace(**kw)
+        return self
+
+    # -- accessors ------------------------------------------------------
+    def position(self, i):
+        return np.asarray(self.state.pos[i])
+
+    def orientation(self, i):
+        return np.asarray(self.state.orn[i])
+
+    def linvel(self, i):
+        return np.asarray(self.state.linvel[i])
+
+    def angvel(self, i):
+        return np.asarray(self.state.angvel[i])
+
+    def is_asleep(self, i) -> bool:
+        return bool(self.state.asleep[i])
+
+    # -- mutators (reference: util/rigidbody.cpp apply impulses etc.) ---
+    def apply_impulse(self, i, impulse, rel_location=(0.0, 0.0, 0.0)):
+        """reference: rigidbody_apply_impulse (src/edyn/util/rigidbody.cpp)."""
+        imp = jnp.asarray(impulse, jnp.float32)
+        rel = jnp.asarray(rel_location, jnp.float32)
+        st = self.state
+        linvel = st.linvel.at[i].add(st.mass_inv[i] * imp)
+        Iw = st.inertia_world_inv()[i]
+        angvel = st.angvel.at[i].add(Iw @ jnp.cross(rel, imp))
+        self.state = dataclasses.replace(st, linvel=linvel, angvel=angvel,
+                                         asleep=st.asleep.at[i].set(False),
+                                         sleep_timer=st.sleep_timer.at[i].set(0.0))
+        return self
+
+    def apply_torque_impulse(self, i, torque_impulse):
+        st = self.state
+        Iw = st.inertia_world_inv()[i]
+        angvel = st.angvel.at[i].add(Iw @ jnp.asarray(torque_impulse, jnp.float32))
+        self.state = dataclasses.replace(st, angvel=angvel,
+                                         asleep=st.asleep.at[i].set(False),
+                                         sleep_timer=st.sleep_timer.at[i].set(0.0))
+        return self
+
+    def set_position(self, i, position, orientation=None):
+        """Kinematic/teleport move (reference: update_kinematic_position)."""
+        st = self.state
+        pos = st.pos.at[i].set(jnp.asarray(position, jnp.float32))
+        orn = st.orn if orientation is None else st.orn.at[i].set(
+            jnp.asarray(orientation, jnp.float32))
+        self.state = dataclasses.replace(st, pos=pos, orn=orn)
+        return self
+
+    def set_velocity(self, i, linvel=None, angvel=None):
+        st = self.state
+        lv = st.linvel if linvel is None else st.linvel.at[i].set(
+            jnp.asarray(linvel, jnp.float32))
+        av = st.angvel if angvel is None else st.angvel.at[i].set(
+            jnp.asarray(angvel, jnp.float32))
+        self.state = dataclasses.replace(
+            st, linvel=lv, angvel=av,
+            asleep=st.asleep.at[i].set(False),
+            sleep_timer=st.sleep_timer.at[i].set(0.0))
+        return self
+
+    def wake_up(self, i):
+        """reference: wake_up_island."""
+        st = self.state
+        island = st.island_id[i]
+        members = st.island_id == island
+        self.state = dataclasses.replace(
+            st,
+            asleep=jnp.where(members, False, st.asleep),
+            sleep_timer=jnp.where(members, 0.0, st.sleep_timer))
+        return self
+
+
+def make_world(builder: WorldBuilder, settings: Settings = Settings(),
+               capacity: Optional[int] = None, max_pairs: Optional[int] = None,
+               **finalize_kw) -> World:
+    """Finalize a builder into a stepping world (reference: edyn::attach)."""
+    state = builder.finalize(capacity=capacity, **finalize_kw)
+    return World(state, settings, derive_meta(state, max_pairs))

@@ -1,0 +1,99 @@
+"""Simulation islands and sleeping as masked label propagation.
+
+Replaces the reference's island_manager (src/edyn/simulation/island_manager.cpp;
+SURVEY A.6): instead of entity-graph bookkeeping with merge/split events,
+island labels are recomputed on device each step by iterative min-label
+propagation with pointer jumping over the contact/joint edge list. Matching the
+reference's rule, only dynamic ("procedural") bodies connect islands — a shared
+static floor does not fuse islands because static/kinematic bodies never
+propagate labels (reference: non-connecting nodes, island_manager.cpp:187-198).
+
+Sleeping (reference: island_manager.cpp:541-596, config/constants.hpp:41-48):
+an island sleeps when every member's velocities stay under the thresholds for
+2 s. Here that's a per-island segmented reduction feeding per-body sleep
+timers; waking is emergent — any fast body that gains an edge into a sleeping
+island drags the island's max velocity over the threshold, resetting its
+timers (the reference's explicit wake_up_island on merge).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..config import (
+    ISLAND_ANGULAR_SLEEP_THRESHOLD, ISLAND_LINEAR_SLEEP_THRESHOLD,
+    ISLAND_TIME_TO_SLEEP,
+)
+from ..math import vec
+
+
+def compute_islands(state, man, num_iters: int = 16):
+    """Returns per-body island labels in [0, N); non-dynamic bodies get their
+    own index (they belong to many islands; reference: multi_island_resident)."""
+    N = state.capacity
+    dyn = state.is_dynamic
+    labels = jnp.arange(N, dtype=jnp.int32)
+
+    def edges(a, b, valid):
+        both_dyn = dyn[a] & dyn[b] & valid
+        return a, b, both_dyn
+
+    ca, cb, cv = edges(man.body_a, man.body_b, man.valid)
+    ja, jb, jv = edges(state.joints.body_a, state.joints.body_b,
+                       state.joints.valid)
+    ea = jnp.concatenate([ca, ja])
+    eb = jnp.concatenate([cb, jb])
+    ev = jnp.concatenate([cv, jv])
+    big = jnp.int32(N)
+
+    for _ in range(num_iters):
+        la = labels[ea]
+        lb = labels[eb]
+        m = jnp.where(ev, jnp.minimum(la, lb), big)
+        labels = labels.at[jnp.where(ev, ea, 0)].min(m)
+        labels = labels.at[jnp.where(ev, eb, 0)].min(m)
+        labels = jnp.minimum(labels, labels[labels])  # pointer jumping
+    return labels
+
+
+def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 16):
+    """Recompute island labels, advance sleep timers, and derive the asleep
+    mask. Sleeping bodies' velocities are zeroed (the reference removes them
+    from every system via sleeping_tag view exclusion; here the mask gates the
+    solver and integration)."""
+    labels = compute_islands(state, man, num_iters)
+    if not enable:
+        return dataclasses.replace(
+            state, island_id=labels,
+            sleep_timer=jnp.zeros_like(state.sleep_timer),
+            asleep=jnp.zeros_like(state.asleep))
+
+    N = state.capacity
+    dyn = state.is_dynamic
+    lin_ok = vec.length_sqr(state.linvel) < ISLAND_LINEAR_SLEEP_THRESHOLD ** 2
+    ang_ok = vec.length_sqr(state.angvel) < ISLAND_ANGULAR_SLEEP_THRESHOLD ** 2
+    body_ok = (lin_ok & ang_ok & ~state.sleeping_disabled) | ~dyn
+
+    # island_ok = AND over members (segment min); non-dynamic contribute True
+    island_ok = jnp.ones((N,), bool).at[jnp.where(dyn, labels, 0)].min(
+        jnp.where(dyn, body_ok, True))
+    # kinematic neighbors that are moving keep the island awake (reference:
+    # kinematic motion wakes touching islands)
+    kin_moving = state.is_kinematic & ~(lin_ok & ang_ok)
+    for a, b, valid in ((man.body_a, man.body_b, man.valid),
+                        (state.joints.body_a, state.joints.body_b, state.joints.valid)):
+        la = labels[a]
+        lb = labels[b]
+        wake_b = valid & kin_moving[a] & dyn[b]
+        wake_a = valid & kin_moving[b] & dyn[a]
+        island_ok = island_ok.at[jnp.where(wake_b, lb, 0)].min(~wake_b)
+        island_ok = island_ok.at[jnp.where(wake_a, la, 0)].min(~wake_a)
+
+    my_ok = island_ok[labels] & dyn
+    timer = jnp.where(my_ok, state.sleep_timer + dt, 0.0)
+    asleep = (timer >= ISLAND_TIME_TO_SLEEP) & dyn
+    linvel = jnp.where(asleep[:, None], 0.0, state.linvel)
+    angvel = jnp.where(asleep[:, None], 0.0, state.angvel)
+    return dataclasses.replace(state, island_id=labels, sleep_timer=timer,
+                               asleep=asleep, linvel=linvel, angvel=angvel)

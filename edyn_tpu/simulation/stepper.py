@@ -1,0 +1,151 @@
+"""The fixed-dt simulation step: one fused jit program.
+
+Replaces the reference's per-step pipeline (stepper_sequential::update,
+src/edyn/simulation/stepper_sequential.cpp:28-152 and solver::update,
+src/edyn/dynamics/solver.cpp:387-468) with a single XLA-compiled function over
+the world pytree. Phase order matches the reference invariant (SURVEY A.7):
+
+  broadphase -> narrowphase -> islands -> (restitution -> gravity -> prepare
+  -> warm start -> velocity iterations -> integrate -> position iterations)
+  -> AABB refresh (at next step's broadphase)
+
+The multi-step accumulator loop lives host-side in World.update (like the
+reference's accumulator, stepper_sequential.cpp:45-65).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..collision.broadphase import find_pairs
+from ..collision.manifold import carry_over
+from ..collision.narrowphase import update_contacts
+from ..config import Settings
+from ..constraints import joints as joints_mod
+from ..dynamics import islands as islands_mod
+from ..dynamics import solver as solver_mod
+from ..dynamics.position import solve_positions
+from ..math import quat, vec
+from ..shapes.aabb import compute_aabbs
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static scene facts (hashable -> jit static arg): which shape types
+    exist, and the padded capacities. Changing these triggers a re-trace,
+    the analogue of the reference's init-time configuration."""
+    types_present: frozenset
+    max_pairs: int
+    bucket_cap: int | None = None
+    island_iters: int = 16
+    broadphase_block: int = 256
+
+
+def apply_gravity(state, dt: float):
+    """reference: include/edyn/sys/apply_gravity.hpp:12."""
+    active = state.awake_dynamic
+    linvel = jnp.where(active[:, None], state.linvel + state.gravity * dt,
+                       state.linvel)
+    return dataclasses.replace(state, linvel=linvel)
+
+
+def integrate_velocities(state, dv, dw, dt: float):
+    """Apply solver deltas and integrate transforms (reference:
+    island_solver.cpp:358-376 integrate_velocities)."""
+    active = state.awake_dynamic
+    linvel = jnp.where(active[:, None], state.linvel + dv, state.linvel)
+    angvel = jnp.where(active[:, None], state.angvel + dw, state.angvel)
+    moving = active | (state.is_kinematic & state.valid)
+    pos = jnp.where(moving[:, None], state.pos + linvel * dt, state.pos)
+    orn = jnp.where(moving[:, None], quat.integrate(state.orn, angvel, dt),
+                    state.orn)
+    return dataclasses.replace(state, linvel=linvel, angvel=angvel, pos=pos,
+                               orn=orn)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "meta"))
+def physics_step(state, settings: Settings, meta: SceneMeta):
+    """One fixed-dt step of the whole world."""
+    dt = settings.fixed_dt
+
+    # --- AABBs (reference: sys/update_aabbs) ---
+    amin, amax = compute_aabbs(state.shape_type, state.shape_params, state.pos,
+                               state.orn, state.poly, state.shape_index)
+    state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax)
+
+    # --- broadphase ---
+    keys, pa, pb, pvalid, _dropped = find_pairs(
+        state, meta.max_pairs, meta.broadphase_block)
+
+    # --- manifold persistence + narrowphase ---
+    man = carry_over(state.contacts, keys, pa, pb, pvalid)
+    man = update_contacts(state, man, settings.collision_threshold,
+                          meta.types_present, meta.bucket_cap)
+    state = dataclasses.replace(state, contacts=man)
+
+    # --- islands & sleeping ---
+    state = islands_mod.update_sleep(state, man, dt, settings.enable_sleeping,
+                                     meta.island_iters)
+
+    use_rest = settings.num_restitution_iterations > 0
+    rows = solver_mod.build_contact_rows(state, man, dt, use_rest,
+                                         settings.mass_splitting)
+
+    # --- restitution pre-pass (before gravity; reference solver.cpp:387-400) ---
+    if use_rest:
+        linvel, angvel = solver_mod.solve_restitution(
+            state, rows, settings.num_restitution_iterations,
+            settings.num_individual_restitution_iterations, dt)
+        state = dataclasses.replace(state, linvel=linvel, angvel=angvel)
+
+    # --- gravity ---
+    state = apply_gravity(state, dt)
+
+    # --- refresh rhs against post-gravity velocities ---
+    rows = solver_mod.refresh_contact_rhs(rows, state, man, dt, use_rest)
+    jrows = joints_mod.build_joint_rows(state, dt, settings.mass_splitting)
+
+    # --- warm start + velocity iterations ---
+    N = state.capacity
+    dv = jnp.zeros((N, 3))
+    dw = jnp.zeros((N, 3))
+    M, P = man.point_valid.shape
+    n_imp = man.normal_impulse.reshape(-1)
+    f_imp = man.friction_impulse.reshape(-1, 2)
+    dv, dw = solver_mod.warm_start_contacts(rows, n_imp, f_imp, dv, dw)
+    j_imp = state.joints.impulses
+    dv, dw = joints_mod.warm_start_joints(jrows, j_imp, dv, dw)
+
+    def iteration(_, carry):
+        n_i, f_i, j_i, dv, dw = carry
+        n_i, f_i, dv, dw = solver_mod.solve_contacts_once(rows, n_i, f_i, dv, dw)
+        j_i, dv, dw = joints_mod.solve_joints_once(jrows, j_i, dv, dw)
+        return n_i, f_i, j_i, dv, dw
+
+    n_imp, f_imp, j_imp, dv, dw = jax.lax.fori_loop(
+        0, settings.num_solver_velocity_iterations, iteration,
+        (n_imp, f_imp, j_imp, dv, dw))
+
+    # store applied impulses for next-step warm starting (reference:
+    # island_solver.cpp assign_applied_impulses)
+    man = dataclasses.replace(
+        man,
+        normal_impulse=n_imp.reshape(M, P),
+        friction_impulse=f_imp.reshape(M, P, 2))
+    joints = dataclasses.replace(state.joints, impulses=j_imp)
+    state = dataclasses.replace(state, contacts=man, joints=joints)
+
+    # --- integrate ---
+    state = integrate_velocities(state, dv, dw, dt)
+
+    # --- position correction ---
+    state = solve_positions(state, man, settings.num_solver_position_iterations)
+
+    return dataclasses.replace(
+        state,
+        step_count=state.step_count + 1,
+        sim_time=state.sim_time + dt,
+    )

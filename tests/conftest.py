@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU mesh so multi-chip
+sharding tests run anywhere (the driver separately validates the TPU path).
+Must set the env vars before jax initializes."""
+import os
+import sys
+
+# The session env points JAX at the 'axon' TPU tunnel platform; tests run on a
+# virtual CPU mesh instead (and must set this before jax initializes).
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
