@@ -8,33 +8,61 @@ a world is known at build time, so absent buckets cost nothing at trace time);
 each bucket kernel runs vectorized over its gathered pairs and scatters its
 <=4-point results back into the manifold table, where they are merged with the
 persistent points for warm-start continuity (manifold.merge_points).
+
+Kernel contract: fn(A: Side, B: Side, threshold) -> ContactResult with A as
+the canonical lower-enum type. Bespoke kernels cover the hot pairs; the
+generic support-SAT kernel (support_sat.py) covers the rest of the convex
+matrix — together they replace the reference's 28 collide() translation units.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable
 
 import jax.numpy as jnp
 
-from ..shapes.params import ShapeType, NUM_SHAPE_TYPES
-from .kernels import box_box, primitives
+from ..math import quat
+from ..shapes.params import NUM_SHAPE_TYPES, ShapeType
+from .kernels import box_box, poly_plane, primitives
 from .kernels.common import ContactResult
+from .kernels.support import Side
+from .kernels.support_sat import make_support_kernel
 from .manifold import merge_points
 
-# Registry: canonical (type_lo, type_hi) -> kernel. The kernel is always
-# called with body A = type_lo, body B = type_hi; results are swapped back
-# when the actual pair order was reversed (reference: swap_collide).
+S = ShapeType
+
+
+def _adapt(fn: Callable) -> Callable:
+    """Wrap a positional primitive kernel into the Side-based contract."""
+    def wrapped(A: Side, B: Side, threshold):
+        return fn(A.pos, A.orn, A.params, B.pos, B.orn, B.params, threshold)
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 KERNELS: dict[tuple[int, int], Callable] = {
-    (ShapeType.SPHERE, ShapeType.SPHERE): primitives.collide_sphere_sphere,
-    (ShapeType.SPHERE, ShapeType.BOX): primitives.collide_sphere_box,
-    (ShapeType.SPHERE, ShapeType.CAPSULE): primitives.collide_sphere_capsule,
-    (ShapeType.SPHERE, ShapeType.PLANE): primitives.collide_sphere_plane,
-    (ShapeType.BOX, ShapeType.BOX): box_box.collide_box_box,
-    (ShapeType.BOX, ShapeType.PLANE): primitives.collide_box_plane,
-    (ShapeType.CAPSULE, ShapeType.CAPSULE): primitives.collide_capsule_capsule,
-    (ShapeType.CAPSULE, ShapeType.PLANE): primitives.collide_capsule_plane,
-    (ShapeType.CYLINDER, ShapeType.PLANE): primitives.collide_cylinder_plane,
+    (S.SPHERE, S.SPHERE): _adapt(primitives.collide_sphere_sphere),
+    (S.SPHERE, S.BOX): _adapt(primitives.collide_sphere_box),
+    (S.SPHERE, S.CAPSULE): _adapt(primitives.collide_sphere_capsule),
+    (S.SPHERE, S.CYLINDER): make_support_kernel(S.SPHERE, S.CYLINDER),
+    (S.SPHERE, S.PLANE): _adapt(primitives.collide_sphere_plane),
+    (S.SPHERE, S.POLYHEDRON): make_support_kernel(S.SPHERE, S.POLYHEDRON),
+    (S.BOX, S.BOX): _adapt(box_box.collide_box_box),
+    (S.BOX, S.CAPSULE): make_support_kernel(S.BOX, S.CAPSULE),
+    (S.BOX, S.CYLINDER): make_support_kernel(S.BOX, S.CYLINDER),
+    (S.BOX, S.PLANE): _adapt(primitives.collide_box_plane),
+    (S.BOX, S.POLYHEDRON): make_support_kernel(S.BOX, S.POLYHEDRON),
+    (S.CAPSULE, S.CAPSULE): _adapt(primitives.collide_capsule_capsule),
+    (S.CAPSULE, S.CYLINDER): make_support_kernel(S.CAPSULE, S.CYLINDER),
+    (S.CAPSULE, S.PLANE): _adapt(primitives.collide_capsule_plane),
+    (S.CAPSULE, S.POLYHEDRON): make_support_kernel(S.CAPSULE, S.POLYHEDRON),
+    (S.CYLINDER, S.CYLINDER): make_support_kernel(S.CYLINDER, S.CYLINDER),
+    (S.CYLINDER, S.PLANE): _adapt(primitives.collide_cylinder_plane),
+    (S.CYLINDER, S.POLYHEDRON): make_support_kernel(S.CYLINDER, S.POLYHEDRON),
+    (S.PLANE, S.POLYHEDRON): None,  # handled swapped: polyhedron is A
+    (S.POLYHEDRON, S.POLYHEDRON): make_support_kernel(S.POLYHEDRON, S.POLYHEDRON),
 }
+# plane buckets run with the plane as body B regardless of enum order
+KERNELS[(S.PLANE, S.POLYHEDRON)] = lambda A, B, t: poly_plane.collide_polyhedron_plane(B, A, t).swapped()
 
 
 def bucket_id(ta, tb):
@@ -44,14 +72,41 @@ def bucket_id(ta, tb):
     return lo * NUM_SHAPE_TYPES + hi, ta > tb
 
 
+def _gather_side(state, idx) -> Side:
+    """Gather one body of each pair into a Side struct."""
+    poly = state.poly
+    has_poly = poly.verts.shape[0] > 0
+    si = jnp.clip(state.shape_index[idx], 0,
+                  max(poly.verts.shape[0] - 1, 0))
+    if has_poly:
+        verts = poly.verts[si]
+        vmask = poly.vert_mask[si] & (
+            state.shape_type[idx] == S.POLYHEDRON)[:, None]
+        fnorm = poly.face_normals[si]
+        fmask = poly.face_mask[si] & (
+            state.shape_type[idx] == S.POLYHEDRON)[:, None]
+        edirs = poly.edge_dirs[si]
+        emask = poly.edge_mask[si] & (
+            state.shape_type[idx] == S.POLYHEDRON)[:, None]
+    else:
+        K = idx.shape[0]
+        verts = jnp.zeros((K, 1, 3))
+        vmask = jnp.zeros((K, 1), bool)
+        fnorm = jnp.zeros((K, 1, 3))
+        fmask = jnp.zeros((K, 1), bool)
+        edirs = jnp.zeros((K, 1, 3))
+        emask = jnp.zeros((K, 1), bool)
+    return Side(pos=state.pos[idx], orn=state.orn[idx],
+                params=state.shape_params[idx],
+                verts=verts, vert_mask=vmask,
+                face_normals=fnorm, face_mask=fmask,
+                edge_dirs=edirs, edge_mask=emask)
+
+
 def update_contacts(state, man, threshold: float, types_present: frozenset,
                     bucket_cap: int | None = None):
     """Run all applicable bucket kernels over the manifold pair list and merge
-    fresh points into ``man`` (the carried-over manifold table).
-
-    types_present: static set of ShapeType values present in the world —
-    buckets whose types aren't present are skipped at trace time.
-    """
+    fresh points into ``man`` (the carried-over manifold table)."""
     M = man.key.shape[0]
     cap = bucket_cap or M
     ta = state.shape_type[man.body_a]
@@ -76,14 +131,10 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         a = man.body_a[sel_c]
         b = man.body_b[sel_c]
         sw = swap[sel_c]
-        # kernel body A = type lo, body B = type hi
-        ka = jnp.where(sw, b, a)
+        ka = jnp.where(sw, b, a)   # kernel body A = canonical lower type
         kb = jnp.where(sw, a, b)
-        res: ContactResult = kernel(
-            state.pos[ka], state.orn[ka], state.shape_params[ka],
-            state.pos[kb], state.orn[kb], state.shape_params[kb],
-            threshold,
-        )
+        res: ContactResult = kernel(_gather_side(state, ka),
+                                    _gather_side(state, kb), threshold)
         res_sw = res.swapped()
         pv = jnp.where(sw[:, None], res_sw.point_valid, res.point_valid) & sel_ok[:, None]
         pa = jnp.where(sw[:, None, None], res_sw.pivot_a, res.pivot_a)
@@ -102,7 +153,6 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     # store normal in attachment body's object space (reference:
     # contact_point_geometry local normal; re-rotated at row build and in the
     # position solver). attachment NONE keeps the world normal.
-    from ..math import quat
     orn_a = state.orn[man.body_a][:, None, :]
     orn_b = state.orn[man.body_b][:, None, :]
     local_n = jnp.where(

@@ -66,9 +66,8 @@ def integrate_velocities(state, dv, dw, dt: float):
                                orn=orn)
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "meta"))
-def physics_step(state, settings: Settings, meta: SceneMeta):
-    """One fixed-dt step of the whole world."""
+def physics_step_impl(state, settings: Settings, meta: SceneMeta):
+    """One fixed-dt step of the whole world (unjitted; see physics_step)."""
     dt = settings.fixed_dt
 
     # --- AABBs (reference: sys/update_aabbs) ---
@@ -149,3 +148,8 @@ def physics_step(state, settings: Settings, meta: SceneMeta):
         step_count=state.step_count + 1,
         sim_time=state.sim_time + dt,
     )
+
+
+# NOTE: no buffer donation — the axon TPU backend rejects donated-input
+# programs (InvalidArgument); revisit when running on a standard TPU runtime.
+physics_step = jax.jit(physics_step_impl, static_argnames=("settings", "meta"))

@@ -15,4 +15,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon sitecustomize pins the platform after env is read; force CPU here
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,161 @@
+"""End-to-end simulation behavior (mirrors reference integration tests:
+test_broadphase.cpp, sys/test_apply_gravity.cpp, sleeping, stacks)."""
+import numpy as np
+import pytest
+
+import edyn_tpu as et
+from edyn_tpu.utils import scenes
+
+
+def settle(world, steps):
+    world.step(steps)
+    world.block_until_ready()
+    return world
+
+
+def test_gravity_freefall():
+    b = et.WorldBuilder()
+    body = b.make_rigidbody(et.RigidBodyDef(mass=1.0, shape=et.SphereShape(0.1),
+                                            position=(0, 100, 0)))
+    w = et.make_world(b)
+    dt = w.settings.fixed_dt
+    settle(w, 60)
+    # semi-implicit Euler: v = g*t, y = y0 - g*dt*sum(1..n)*dt
+    t = 60 * dt
+    assert abs(w.linvel(body)[1] + 9.8 * t) < 1e-3
+    expected_y = 100 - 9.8 * dt * dt * (60 * 61) / 2
+    assert abs(w.position(body)[1] - expected_y) < 1e-2
+
+
+def test_hello_world_box_rests():
+    b, box = scenes.hello_world()
+    w = et.make_world(b)
+    settle(w, 240)
+    pos = w.position(box)
+    assert abs(pos[1] - 0.2) < 0.05
+    assert np.linalg.norm(w.linvel(box)) < 0.01
+    assert w.is_asleep(box)
+
+
+def test_restitution_bounce():
+    b = et.WorldBuilder()
+    b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.PlaneShape((0, 1, 0), 0.0),
+        material=et.Material(restitution=1.0)))
+    ball = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 2.0, 0),
+        material=et.Material(restitution=0.9), sleeping_disabled=True))
+    w = et.make_world(b)
+    max_y = 0.0
+    hit = False
+    for _ in range(300):
+        w.step()
+        y = float(w.position(ball)[1])
+        v = float(w.linvel(ball)[1])
+        if v > 0.1:
+            hit = True
+        if hit:
+            max_y = max(max_y, y)
+    assert hit, "ball never bounced"
+    assert max_y > 0.9  # 0.81 energy-scaled from 1.5m drop + radius
+
+
+def test_box_stack_stability():
+    """10-box stack must not collapse or drift (BASELINE config 2)."""
+    b, ids = scenes.box_stack(10)
+    w = et.make_world(b)
+    x0 = np.array([w.position(i) for i in ids])
+    settle(w, 300)
+    x1 = np.array([w.position(i) for i in ids])
+    drift = np.abs(x1[:, [0, 2]] - x0[:, [0, 2]]).max()
+    assert drift < 0.05, f"stack drifted {drift}"
+    heights = x1[:, 1]
+    assert np.all(np.diff(heights) > 0.3), f"stack collapsed: {heights}"
+
+
+def test_mixed_pile_settles_and_no_tunnel():
+    b, ids = scenes.mixed_pile(n_bodies=60)
+    w = et.make_world(b)
+    settle(w, 240)
+    pos = np.array([w.position(i) for i in ids])
+    # no tunneling: every centroid stays above the floor (residual penetration
+    # under pile weight is bounded by the position solver, like the reference)
+    assert pos[:, 1].min() > 0.0, "body tunnelled through the floor"
+    assert np.median(pos[:, 1]) > 0.08, "pile collapsed into the floor"
+    assert np.abs(pos[:, [0, 2]]).max() < 25.0, "body escaped the bin"
+
+
+def test_sleeping_and_wake_on_impulse():
+    b, box = scenes.hello_world()
+    w = et.make_world(b)
+    settle(w, 240)
+    assert w.is_asleep(box)
+    w.apply_impulse(box, (0, 50.0, 0))
+    assert not w.is_asleep(box)
+    w.step(2)
+    assert float(w.linvel(box)[1]) > 0.1
+
+
+def test_sleeping_disabled_flag():
+    b = et.WorldBuilder()
+    b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.PlaneShape((0, 1, 0), 0.0)))
+    box = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.BoxShape((0.2, 0.2, 0.2)), position=(0, 0.2, 0),
+        sleeping_disabled=True))
+    w = et.make_world(b)
+    settle(w, 240)
+    assert not w.is_asleep(box)
+
+
+def test_collision_exclusion():
+    """reference: test/edyn/test_exclusion.cpp."""
+    b = et.WorldBuilder()
+    a = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 0, 0), gravity=(0, 0, 0)))
+    c = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 0.6, 0), gravity=(0, 0, 0)))
+    b.exclude_collision(a, c)
+    w = et.make_world(b)
+    settle(w, 10)
+    # overlapping but excluded: no manifold, no velocity change
+    assert np.linalg.norm(w.linvel(a)) < 1e-6
+    assert int(np.asarray(w.state.contacts.valid).sum()) == 0
+
+
+def test_collision_filter_group_mask():
+    b = et.WorldBuilder()
+    a = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 0, 0),
+        gravity=(0, 0, 0), collision_group=1, collision_mask=1))
+    c = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 0.6, 0),
+        gravity=(0, 0, 0), collision_group=2, collision_mask=2))
+    w = et.make_world(b)
+    settle(w, 10)
+    assert int(np.asarray(w.state.contacts.valid).sum()) == 0
+
+
+def test_kinematic_pushes_dynamic():
+    b = et.WorldBuilder()
+    kin = b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_KINEMATIC, shape=et.BoxShape((0.5, 0.5, 0.5)),
+        position=(-2.0, 0.0, 0.0), linvel=(1.0, 0, 0)))
+    dyn = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 0, 0),
+        gravity=(0, 0, 0)))
+    w = et.make_world(b)
+    settle(w, 120)
+    assert w.position(kin)[0] > -0.5  # kinematic integrated
+    assert w.linvel(dyn)[0] > 0.5, "dynamic body was not pushed"
+    assert w.position(dyn)[0] > 0.5
+
+
+def test_warm_start_impulses_persist():
+    b, box = scenes.hello_world()
+    w = et.make_world(b)
+    settle(w, 120)
+    imp = np.asarray(w.state.contacts.normal_impulse)
+    assert imp.max() > 0, "no accumulated normal impulse"
+    lt = np.asarray(w.state.contacts.lifetime)
+    assert lt.max() > 30, "contact points are not persisting"
