@@ -26,11 +26,7 @@ def main():
     from edyn_tpu.utils import scenes
 
     builder, _ = scenes.mixed_pile(n_bodies=N_BODIES)
-    world = et.make_world(
-        builder, et.Settings(),
-        max_pairs=1 << 17,
-        max_manifolds=1 << 17,
-    )
+    world = et.make_world(builder, et.Settings())
 
     # compile + warmup (lets the pile make initial contact)
     world.step(2)

@@ -1,0 +1,196 @@
+"""Batched raycasting.
+
+Reference: include/edyn/collision/raycast.hpp (+ per-shape kernels in
+src/edyn/collision/raycast.cpp:58-403). The reference walks the broadphase
+tree per ray and double-dispatches per shape; here Q rays test all body AABBs
+at once (masked), keep up to H candidates each, and evaluate every shape
+formula masked by type — one fused program, arbitrarily many rays per call
+(the reference's async raycast batching, raycast_service.cpp, comes free).
+
+Returns per ray: fraction t in [0,1], hit entity (-1 = miss), world normal.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..math import geom, quat, vec
+from ..shapes.params import ShapeType
+from .kernels.common import axis_onehot
+
+BIG = 1e30
+
+
+def _ray_shape_local(stype, params, verts, vert_mask, face_normals, face_mask,
+                     p0, d):
+    """Ray vs shape in the shape's object space. Returns (t, normal_local).
+    All inputs batched [C, ...]; masked evaluation over shape types."""
+    C = p0.shape[0]
+    t_out = jnp.full((C,), BIG)
+    n_out = jnp.zeros((C, 3))
+
+    def merge(mask, t, n):
+        nonlocal t_out, n_out
+        better = mask & (t < t_out)
+        t_out = jnp.where(better, t, t_out)
+        n_out = jnp.where(better[:, None], n, n_out)
+
+    st = stype
+
+    # SPHERE
+    r = params[:, 0]
+    t_s = geom.intersect_ray_sphere(p0, d, jnp.zeros_like(p0), r)
+    n_s = vec.normalize(p0 + d * t_s[:, None])
+    merge(st == ShapeType.SPHERE, t_s, n_s)
+
+    # PLANE (object-space normal/constant in params)
+    pn = params[:, :3]
+    pc = params[:, 3]
+    t_p = geom.intersect_ray_plane(p0, d, pn, pc)
+    merge(st == ShapeType.PLANE, t_p, pn)
+
+    # BOX: slab test
+    h = params[:, :3]
+    t_enter, t_exit = geom.intersect_ray_aabb(p0, d, -h, h)
+    hit_b = (t_enter <= t_exit)
+    p_hit = p0 + d * t_enter[:, None]
+    # face normal: axis of largest |p|/h ratio
+    ratio = jnp.abs(p_hit) / jnp.maximum(h, 1e-9)
+    ax = jnp.argmax(ratio, axis=-1)
+    n_b = axis_onehot(ax.astype(jnp.float32)) * jnp.sign(
+        jnp.take_along_axis(p_hit, ax[:, None], 1))
+    merge((st == ShapeType.BOX) & hit_b, jnp.where(hit_b, t_enter, BIG), n_b)
+
+    # CAPSULE: cylinder side + 2 sphere caps
+    rc = params[:, 0]
+    hl = params[:, 1]
+    axis = axis_onehot(params[:, 2])
+    t_cap = jnp.full((C,), BIG)
+    n_cap = jnp.zeros((C, 3))
+    # side: project out the axis component
+    p0p = p0 - axis * vec.dot(p0, axis)[:, None]
+    dp = d - axis * vec.dot(d, axis)[:, None]
+    a_q = vec.length_sqr(dp)
+    b_q = vec.dot(p0p, dp)
+    c_q = vec.length_sqr(p0p) - rc * rc
+    disc = b_q * b_q - a_q * c_q
+    ok = (disc >= 0) & (a_q > 1e-12)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_side = (-b_q - sq) / jnp.maximum(a_q, 1e-12)
+    z = vec.dot(p0 + d * t_side[:, None], axis)
+    ok_side = ok & (t_side >= 0) & (jnp.abs(z) <= hl)
+    n_side = vec.normalize((p0 + d * t_side[:, None]) - axis * z[:, None])
+    t_cap = jnp.where(ok_side, t_side, t_cap)
+    n_cap = jnp.where(ok_side[:, None], n_side, n_cap)
+    for sgn in (1.0, -1.0):
+        cc = axis * hl[:, None] * sgn
+        t_c = geom.intersect_ray_sphere(p0, d, cc, rc)
+        better = t_c < t_cap
+        n_c = vec.normalize(p0 + d * t_c[:, None] - cc)
+        t_cap = jnp.where(better, t_c, t_cap)
+        n_cap = jnp.where(better[:, None], n_c, n_cap)
+    merge(st == ShapeType.CAPSULE, t_cap, n_cap)
+
+    # CYLINDER: side within |z|<=hl + cap disks
+    t_cyl = jnp.where(ok & (t_side >= 0) & (jnp.abs(z) <= hl), t_side, BIG)
+    n_cyl = n_side
+    for sgn in (1.0, -1.0):
+        denom = vec.dot(d, axis) * sgn
+        t_d = (hl - vec.dot(p0, axis) * sgn) / jnp.where(
+            jnp.abs(denom) > 1e-9, denom, 1e-9)
+        p_d = p0 + d * t_d[:, None]
+        radial = p_d - axis * vec.dot(p_d, axis)[:, None]
+        ok_d = (jnp.abs(denom) > 1e-9) & (t_d >= 0) & (
+            vec.length_sqr(radial) <= rc * rc)
+        better = ok_d & (t_d < t_cyl)
+        t_cyl = jnp.where(better, t_d, t_cyl)
+        n_cyl = jnp.where(better[:, None], axis * sgn, n_cyl)
+    merge(st == ShapeType.CYLINDER, t_cyl, n_cyl)
+
+    # POLYHEDRON: convex half-space clipping over face planes
+    if face_normals.shape[1] > 0:
+        # face plane offset = max over verts of dot(v, n_f)
+        proj = jnp.einsum("cvd,cfd->cvf", verts, face_normals)
+        proj = jnp.where(vert_mask[:, :, None], proj, -BIG)
+        off = jnp.max(proj, axis=1)                       # [C,F]
+        dn = jnp.einsum("cd,cfd->cf", d, face_normals)
+        pn_ = jnp.einsum("cd,cfd->cf", p0, face_normals)
+        t_f = (off - pn_) / jnp.where(jnp.abs(dn) > 1e-9, dn, 1e-9)
+        entering = dn < 0
+        fm = face_mask & (jnp.abs(dn) > 1e-9)
+        t_near = jnp.max(jnp.where(fm & entering, t_f, -BIG), axis=1)
+        t_far = jnp.min(jnp.where(fm & ~entering, t_f, BIG), axis=1)
+        # start-inside handling: parallel & outside => miss
+        outside_par = jnp.any(face_mask & (jnp.abs(dn) <= 1e-9)
+                              & (pn_ > off), axis=1)
+        hit_ph = (t_near <= t_far) & (t_far >= 0) & ~outside_par
+        t_ph = jnp.maximum(t_near, 0.0)
+        near_idx = jnp.argmax(jnp.where(fm & entering, t_f, -BIG), axis=1)
+        n_ph = jnp.take_along_axis(face_normals, near_idx[:, None, None].repeat(3, -1), 1)[:, 0]
+        merge((st == ShapeType.POLYHEDRON) & hit_ph,
+              jnp.where(hit_ph, t_ph, BIG), n_ph)
+
+    return t_out, n_out
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates",))
+def raycast(state, p0, p1, max_candidates: int = 16):
+    """Batched raycast: p0, p1 [Q,3] world-space segment endpoints.
+
+    Returns dict(fraction [Q], entity [Q] (-1 miss), normal [Q,3] world).
+    reference: edyn::raycast (src/edyn/collision/raycast.cpp:20-57)."""
+    Q = p0.shape[0]
+    N = state.capacity
+    d = p1 - p0
+
+    # broadphase: segment vs all fat AABBs [Q,N]
+    t_en, t_ex = geom.intersect_ray_aabb(
+        p0[:, None, :], d[:, None, :], state.aabb_min[None], state.aabb_max[None])
+    hit_aabb = (t_en <= t_ex) & (t_en <= 1.0) & state.valid[None, :] & \
+        (state.shape_type[None, :] != ShapeType.NONE)
+
+    # candidate selection per ray
+    H = min(max_candidates, N)
+    order = jnp.argsort(jnp.where(hit_aabb, t_en, BIG), axis=1)
+    cand = order[:, :H]                                      # [Q,H]
+    cand_ok = jnp.take_along_axis(hit_aabb, cand, axis=1)
+
+    flat = cand.reshape(-1)
+    C = flat.shape[0]
+    # ray into each candidate body's object space
+    pos_c = state.pos[flat]
+    orn_c = state.orn[flat]
+    p0_l = quat.rotate_inv(orn_c, jnp.repeat(p0, H, 0) - pos_c)
+    d_l = quat.rotate_inv(orn_c, jnp.repeat(d, H, 0))
+
+    poly = state.poly
+    if poly.verts.shape[0] > 0:
+        si = jnp.clip(state.shape_index[flat], 0, poly.verts.shape[0] - 1)
+        verts = poly.verts[si]
+        vmask = poly.vert_mask[si]
+        fnorm = poly.face_normals[si]
+        fmask = poly.face_mask[si] & (
+            state.shape_type[flat] == ShapeType.POLYHEDRON)[:, None]
+    else:
+        verts = jnp.zeros((C, 0, 3))
+        vmask = jnp.zeros((C, 0), bool)
+        fnorm = jnp.zeros((C, 0, 3))
+        fmask = jnp.zeros((C, 0), bool)
+
+    t_l, n_l = _ray_shape_local(state.shape_type[flat], state.shape_params[flat],
+                                verts, vmask, fnorm, fmask, p0_l, d_l)
+    t = jnp.where(cand_ok.reshape(-1), t_l, BIG).reshape(Q, H)
+    n_w = quat.rotate(orn_c, n_l).reshape(Q, H, 3)
+
+    best = jnp.argmin(t, axis=1)
+    t_best = jnp.take_along_axis(t, best[:, None], 1)[:, 0]
+    hit = t_best <= 1.0
+    entity = jnp.where(hit, jnp.take_along_axis(cand, best[:, None], 1)[:, 0], -1)
+    normal = jnp.take_along_axis(n_w, best[:, None, None].repeat(3, -1), 1)[:, 0]
+    return {
+        "fraction": jnp.where(hit, t_best, 1.0),
+        "entity": entity,
+        "normal": jnp.where(hit[:, None], normal, 0.0),
+    }

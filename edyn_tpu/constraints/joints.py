@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..core.state import JointTable, MAX_JOINT_ROWS
 from ..math import quat, vec
-from ..dynamics.solver import BIG, degree_counts, eff_mass_of
+from ..dynamics.solver import BIG, degree_counts
 
 ERP = 0.2
 
@@ -57,8 +57,8 @@ class JointRows:
     JaB: jnp.ndarray
     inv_mA: jnp.ndarray
     inv_mB: jnp.ndarray
-    inv_IA: jnp.ndarray
-    inv_IB: jnp.ndarray
+    tA: jnp.ndarray    # [R,3] inv_IA @ JaA (precomputed application vector)
+    tB: jnp.ndarray    # [R,3] inv_IB @ JaB
     eff_mass: jnp.ndarray
     rhs: jnp.ndarray
     lower: jnp.ndarray
@@ -294,24 +294,25 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
         degA, degB = deg[a_r], deg[b_r]
     else:
         degA = degB = 1.0
-    em = eff_mass_of(flat(JlA), flat(JaA), flat(JlB), flat(JaB),
-                     inv_mA * degA, inv_IA * degA[:, None, None],
-                     inv_mB * degB, inv_IB * degB[:, None, None])
+    fJlA, fJaA, fJlB, fJaB = flat(JlA), flat(JaA), flat(JlB), flat(JaB)
+    tA = jnp.einsum("rij,rj->ri", inv_IA, fJaA)
+    tB = jnp.einsum("rij,rj->ri", inv_IB, fJaB)
+    term = (vec.dot(fJlA, fJlA) * inv_mA * degA + vec.dot(tA, fJaA) * degA
+            + vec.dot(fJlB, fJlB) * inv_mB * degB + vec.dot(tB, fJaB) * degB)
+    em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
     return JointRows(
         valid=valid_r, a=a_r, b=b_r,
-        JlA=flat(JlA), JaA=flat(JaA), JlB=flat(JlB), JaB=flat(JaB),
-        inv_mA=inv_mA, inv_mB=inv_mB, inv_IA=inv_IA, inv_IB=inv_IB,
+        JlA=fJlA, JaA=fJaA, JlB=fJlB, JaB=fJaB,
+        inv_mA=inv_mA, inv_mB=inv_mB, tA=tA, tB=tB,
         eff_mass=em, rhs=flat(rhs), lower=flat(lower), upper=flat(upper))
 
 
 def _apply(rows: JointRows, dlam, dv, dw):
     dlam = jnp.where(rows.valid, dlam, 0.0)
     dv = dv.at[rows.a].add(rows.inv_mA[:, None] * rows.JlA * dlam[:, None])
-    dw = dw.at[rows.a].add(
-        jnp.einsum("rij,rj->ri", rows.inv_IA, rows.JaA) * dlam[:, None])
+    dw = dw.at[rows.a].add(rows.tA * dlam[:, None])
     dv = dv.at[rows.b].add(rows.inv_mB[:, None] * rows.JlB * dlam[:, None])
-    dw = dw.at[rows.b].add(
-        jnp.einsum("rij,rj->ri", rows.inv_IB, rows.JaB) * dlam[:, None])
+    dw = dw.at[rows.b].add(rows.tB * dlam[:, None])
     return dv, dw
 
 

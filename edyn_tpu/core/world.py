@@ -30,6 +30,8 @@ def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
     if max_pairs is None:
         n = int(valid.sum())
         max_pairs = max(256, min(16 * n, 1 << 18))
+    max_pairs = min(max_pairs, state.contacts.key.shape[0])
+    kw.setdefault("bucket_cap", max(512, max_pairs // 4))
     return SceneMeta(types_present=present, max_pairs=max_pairs, **kw)
 
 
@@ -136,6 +138,21 @@ class World:
             sleep_timer=st.sleep_timer.at[i].set(0.0))
         return self
 
+    def raycast(self, p0, p1):
+        """Cast one ray or a batch (reference: edyn::raycast). Returns dict
+        with fraction/entity/normal (arrays for a batch, scalars for one)."""
+        from ..collision.raycast import raycast as _raycast
+        p0 = np.atleast_2d(np.asarray(p0, np.float32))
+        p1 = np.atleast_2d(np.asarray(p1, np.float32))
+        single = p0.shape[0] == 1
+        out = _raycast(self.state, jnp.asarray(p0), jnp.asarray(p1))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if single:
+            return {"fraction": float(out["fraction"][0]),
+                    "entity": int(out["entity"][0]),
+                    "normal": out["normal"][0]}
+        return out
+
     def wake_up(self, i):
         """reference: wake_up_island."""
         st = self.state
@@ -151,6 +168,13 @@ class World:
 def make_world(builder: WorldBuilder, settings: Settings = Settings(),
                capacity: Optional[int] = None, max_pairs: Optional[int] = None,
                **finalize_kw) -> World:
-    """Finalize a builder into a stepping world (reference: edyn::attach)."""
+    """Finalize a builder into a stepping world (reference: edyn::attach).
+
+    The manifold table is sized to max_pairs — the pair list and manifold
+    table share the same (sorted-by-key) layout."""
+    if max_pairs is None:
+        n = len(builder.defs)
+        max_pairs = max(256, min(16 * n, 1 << 18))
+    finalize_kw.setdefault("max_manifolds", max_pairs)
     state = builder.finalize(capacity=capacity, **finalize_kw)
     return World(state, settings, derive_meta(state, max_pairs))

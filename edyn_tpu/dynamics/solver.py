@@ -21,9 +21,15 @@ the normal->friction->joint sub-phases). For convergence parity with strict
 Gauss-Seidel, each body's effective mass contribution is scaled by its
 constraint degree (mass splitting, Tonge et al. 2012): eff_mass sees
 deg*inv_m, applications use plain inv_m — equivalent to solving against d
-split copies of the body and averaging. Stacks converge at similar iteration
-counts; islands need no bookkeeping because disjoint islands never share
-bodies and therefore solve independently inside the same batched iteration.
+split copies of the body and averaging. Islands need no bookkeeping because
+disjoint islands never share bodies and solve independently inside the same
+batched iteration.
+
+Bandwidth design: the per-row Jacobians and their inertia-applied
+counterparts (t = I^-1 (r x d)) are precomputed once per step, so each solver
+iteration touches only [R,3] vectors — no 3x3 matrix reads in the hot loop
+(the reference does the same: constraint_row stores J and inv_I once,
+constraint_row.hpp:20-52).
 """
 from __future__ import annotations
 
@@ -32,7 +38,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..config import LARGE_SCALAR
 from ..math import quat, vec
 
 BIG = 1e18
@@ -45,6 +50,19 @@ def _dc(cls):
 
 
 @_dc
+class RowDir:
+    """One constraint direction of a contact point: linear dir d (on A;
+    negated on B), angular jacobians Ja = r x d, and the inertia-applied
+    angular response t = I^-1 Ja."""
+    JaA: jnp.ndarray  # [R,3]
+    JaB: jnp.ndarray  # [R,3]
+    tA: jnp.ndarray   # [R,3] inv_IA @ JaA
+    tB: jnp.ndarray   # [R,3] inv_IB @ JaB
+    eff_mass: jnp.ndarray  # [R]
+    rhs: jnp.ndarray       # [R]
+
+
+@_dc
 class ContactRows:
     """One row block per contact point (flattened [M*4]), normal + 2 coupled
     friction directions (reference: contact_constraint::prepare,
@@ -52,23 +70,19 @@ class ContactRows:
     valid: jnp.ndarray    # [R] bool
     a: jnp.ndarray        # [R] int32
     b: jnp.ndarray        # [R]
-    n: jnp.ndarray        # [R,3] world normal (B -> A)
-    rA: jnp.ndarray       # [R,3] world lever arm on A
-    rB: jnp.ndarray       # [R,3]
     inv_mA: jnp.ndarray   # [R]
     inv_mB: jnp.ndarray
-    inv_IA: jnp.ndarray   # [R,3,3] world-space inverse inertia
-    inv_IB: jnp.ndarray
-    eff_mass: jnp.ndarray  # [R] normal row (includes mass-splitting scale)
-    rhs: jnp.ndarray       # [R]
-    t1: jnp.ndarray        # [R,3] friction tangents
+    n: jnp.ndarray        # [R,3] world normal (B -> A)
+    t1: jnp.ndarray       # [R,3] friction tangents
     t2: jnp.ndarray
-    eff_mass_t1: jnp.ndarray
-    eff_mass_t2: jnp.ndarray
-    rhs_t1: jnp.ndarray
-    rhs_t2: jnp.ndarray
-    friction: jnp.ndarray    # [R] mixed coefficient
+    rn: RowDir
+    r1: RowDir
+    r2: RowDir
+    friction: jnp.ndarray     # [R] mixed coefficient
     restitution: jnp.ndarray  # [R] mixed coefficient
+    # kept for the position solver / diagnostics
+    rA: jnp.ndarray
+    rB: jnp.ndarray
 
 
 def degree_counts(N, idx_list, valid_list):
@@ -86,6 +100,18 @@ def eff_mass_of(Jl_a, Ja_a, Jl_b, Ja_b, inv_mA, inv_IA, inv_mB, inv_IB):
             + vec.dot(Jl_b, Jl_b) * inv_mB
             + vec.dot(jnp.einsum("...ij,...j->...i", inv_IB, Ja_b), Ja_b))
     return jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
+
+
+def _make_dir(d, rA, rB, inv_mA, inv_IA, inv_mB, inv_IB, degA, degB):
+    JaA = jnp.cross(rA, d)
+    JaB = -jnp.cross(rB, d)
+    tA = jnp.einsum("...ij,...j->...i", inv_IA, JaA)
+    tB = jnp.einsum("...ij,...j->...i", inv_IB, JaB)
+    # mass splitting scales only the eff-mass denominator
+    term = (vec.dot(d, d) * inv_mA * degA + vec.dot(tA, JaA) * degA
+            + vec.dot(d, d) * inv_mB * degB + vec.dot(tB, JaB) * degB)
+    em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
+    return JaA, JaB, tA, tB, em
 
 
 def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
@@ -125,53 +151,39 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
         degA = deg[a]
         degB = deg[b]
     else:
-        degA = degB = 1.0
+        degA = degB = jnp.ones_like(inv_mA)
 
-    JaA = jnp.cross(rA, n)
-    JaB = -jnp.cross(rB, n)
-    em = eff_mass_of(n, JaA, -n, JaB, inv_mA * degA, inv_IA * degA[:, None, None],
-                     inv_mB * degB, inv_IB * degB[:, None, None])
+    t1, t2 = vec.orthonormal_basis(n)
 
-    relvel = (vec.dot(n, state.linvel[a]) + vec.dot(JaA, state.angvel[a])
-              + vec.dot(-n, state.linvel[b]) + vec.dot(JaB, state.angvel[b]))
+    va, wa = state.linvel[a], state.angvel[a]
+    vb, wb = state.linvel[b], state.angvel[b]
+
+    def dir_rows(d, rhs_fn):
+        JaA, JaB, tA, tB, em = _make_dir(d, rA, rB, inv_mA, inv_IA, inv_mB,
+                                         inv_IB, degA, degB)
+        relvel = (vec.dot(d, va) + vec.dot(JaA, wa)
+                  - vec.dot(d, vb) + vec.dot(JaB, wb))
+        return RowDir(JaA=JaA, JaB=JaB, tA=tA, tB=tB, eff_mass=em,
+                      rhs=rhs_fn(relvel))
+
     dist = flat(man.distance)
-    # speculative contact: error = distance/dt when separated (SURVEY A.2)
-    error = jnp.where(dist > 0, dist / dt, 0.0)
-    erp = 0.2
     restit_mix = jnp.minimum(state.restitution[a], state.restitution[b])
     # with the restitution pre-pass enabled the main rows get zero restitution
     # (reference: solver.cpp:280-283)
-    restitution = 0.0 if use_restitution_solver else restit_mix
-    rhs = -(error * erp + relvel * (1.0 + restitution))
+    restitution = jnp.zeros_like(restit_mix) if use_restitution_solver else restit_mix
+    # speculative contact: error = distance/dt when separated (SURVEY A.2)
+    error = jnp.where(dist > 0, dist / dt, 0.0)
 
-    # friction tangents from the normal (reference uses plane_space(normal))
-    t1, t2 = vec.orthonormal_basis(n)
-    Ja_t1A = jnp.cross(rA, t1)
-    Ja_t1B = -jnp.cross(rB, t1)
-    Ja_t2A = jnp.cross(rA, t2)
-    Ja_t2B = -jnp.cross(rB, t2)
-    em_t1 = eff_mass_of(t1, Ja_t1A, -t1, Ja_t1B, inv_mA * degA,
-                        inv_IA * degA[:, None, None], inv_mB * degB,
-                        inv_IB * degB[:, None, None])
-    em_t2 = eff_mass_of(t2, Ja_t2A, -t2, Ja_t2B, inv_mA * degA,
-                        inv_IA * degA[:, None, None], inv_mB * degB,
-                        inv_IB * degB[:, None, None])
-    rhs_t1 = -(vec.dot(t1, state.linvel[a]) + vec.dot(Ja_t1A, state.angvel[a])
-               + vec.dot(-t1, state.linvel[b]) + vec.dot(Ja_t1B, state.angvel[b]))
-    rhs_t2 = -(vec.dot(t2, state.linvel[a]) + vec.dot(Ja_t2A, state.angvel[a])
-               + vec.dot(-t2, state.linvel[b]) + vec.dot(Ja_t2B, state.angvel[b]))
+    rn = dir_rows(n, lambda rv: -(error * 0.2 + rv * (1.0 + restitution)))
+    r1 = dir_rows(t1, lambda rv: -rv)
+    r2 = dir_rows(t2, lambda rv: -rv)
 
     # default material mixing (reference: dynamics/material_mixing.hpp:13-35)
     friction = jnp.sqrt(jnp.maximum(state.friction[a] * state.friction[b], 0.0))
 
-    return ContactRows(
-        valid=valid, a=a, b=b, n=n, rA=rA, rB=rB,
-        inv_mA=inv_mA, inv_mB=inv_mB, inv_IA=inv_IA, inv_IB=inv_IB,
-        eff_mass=em, rhs=rhs,
-        t1=t1, t2=t2, eff_mass_t1=em_t1, eff_mass_t2=em_t2,
-        rhs_t1=rhs_t1, rhs_t2=rhs_t2,
-        friction=friction, restitution=restit_mix,
-    )
+    return ContactRows(valid=valid, a=a, b=b, inv_mA=inv_mA, inv_mB=inv_mB,
+                       n=n, t1=t1, t2=t2, rn=rn, r1=r1, r2=r2,
+                       friction=friction, restitution=restit_mix, rA=rA, rB=rB)
 
 
 def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
@@ -180,77 +192,60 @@ def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
     restitution pre-pass and gravity, matching the reference's prepare order:
     solver.cpp:387-405)."""
     a, b = rows.a, rows.b
-    JaA = jnp.cross(rows.rA, rows.n)
-    JaB = -jnp.cross(rows.rB, rows.n)
-    relvel = (vec.dot(rows.n, state.linvel[a]) + vec.dot(JaA, state.angvel[a])
-              + vec.dot(-rows.n, state.linvel[b]) + vec.dot(JaB, state.angvel[b]))
+    va, wa = state.linvel[a], state.angvel[a]
+    vb, wb = state.linvel[b], state.angvel[b]
     M, P = man.point_valid.shape
     dist = man.distance.reshape(M * P)
     error = jnp.where(dist > 0, dist / dt, 0.0)
     restitution = 0.0 if use_restitution_solver else rows.restitution
-    rhs = -(error * 0.2 + relvel * (1.0 + restitution))
 
-    def trhs(t, rA, rB):
-        JtA = jnp.cross(rA, t)
-        JtB = -jnp.cross(rB, t)
-        return -(vec.dot(t, state.linvel[a]) + vec.dot(JtA, state.angvel[a])
-                 + vec.dot(-t, state.linvel[b]) + vec.dot(JtB, state.angvel[b]))
+    def rv(d, rd):
+        return (vec.dot(d, va) + vec.dot(rd.JaA, wa)
+                - vec.dot(d, vb) + vec.dot(rd.JaB, wb))
 
-    return dataclasses.replace(rows, rhs=rhs,
-                               rhs_t1=trhs(rows.t1, rows.rA, rows.rB),
-                               rhs_t2=trhs(rows.t2, rows.rA, rows.rB))
+    rn = dataclasses.replace(rows.rn, rhs=-(error * 0.2 + rv(rows.n, rows.rn)
+                                            * (1.0 + restitution)))
+    r1 = dataclasses.replace(rows.r1, rhs=-rv(rows.t1, rows.r1))
+    r2 = dataclasses.replace(rows.r2, rhs=-rv(rows.t2, rows.r2))
+    return dataclasses.replace(rows, rn=rn, r1=r1, r2=r2)
 
 
-def apply_impulse(rows, Jl, Ja_a, Ja_b, dlam, dv, dw):
-    """Scatter an impulse along row jacobians into delta velocities.
-    Jl is the linear direction on A (negated for B)."""
+def _apply(rows: ContactRows, d, rd: RowDir, dlam, dv, dw):
     dlam = jnp.where(rows.valid, dlam, 0.0)
-    dv = dv.at[rows.a].add(rows.inv_mA[:, None] * Jl * dlam[:, None])
-    dw = dw.at[rows.a].add(
-        jnp.einsum("...ij,...j->...i", rows.inv_IA, Ja_a) * dlam[:, None])
-    dv = dv.at[rows.b].add(rows.inv_mB[:, None] * (-Jl) * dlam[:, None])
-    dw = dw.at[rows.b].add(
-        jnp.einsum("...ij,...j->...i", rows.inv_IB, Ja_b) * dlam[:, None])
+    dv = dv.at[rows.a].add(rows.inv_mA[:, None] * d * dlam[:, None])
+    dw = dw.at[rows.a].add(rd.tA * dlam[:, None])
+    dv = dv.at[rows.b].add(rows.inv_mB[:, None] * -d * dlam[:, None])
+    dw = dw.at[rows.b].add(rd.tB * dlam[:, None])
     return dv, dw
 
 
-def _row_delta_relvel(rows, Jl, Ja_a, Ja_b, dv, dw):
-    return (vec.dot(Jl, dv[rows.a]) + vec.dot(Ja_a, dw[rows.a])
-            + vec.dot(-Jl, dv[rows.b]) + vec.dot(Ja_b, dw[rows.b]))
+def _delta_relvel(rows: ContactRows, d, rd: RowDir, dv, dw):
+    return (vec.dot(d, dv[rows.a]) + vec.dot(rd.JaA, dw[rows.a])
+            - vec.dot(d, dv[rows.b]) + vec.dot(rd.JaB, dw[rows.b]))
 
 
 def warm_start_contacts(rows: ContactRows, n_imp, f_imp, dv, dw):
     """Apply stored impulses before iterating (reference:
     constraint_row.cpp warm_start)."""
-    JaA = jnp.cross(rows.rA, rows.n)
-    JaB = -jnp.cross(rows.rB, rows.n)
-    dv, dw = apply_impulse(rows, rows.n, JaA, JaB, n_imp, dv, dw)
-    for tdir, imp in ((rows.t1, f_imp[:, 0]), (rows.t2, f_imp[:, 1])):
-        Ja_tA = jnp.cross(rows.rA, tdir)
-        Ja_tB = -jnp.cross(rows.rB, tdir)
-        dv, dw = apply_impulse(rows, tdir, Ja_tA, Ja_tB, imp, dv, dw)
+    dv, dw = _apply(rows, rows.n, rows.rn, n_imp, dv, dw)
+    dv, dw = _apply(rows, rows.t1, rows.r1, f_imp[:, 0], dv, dw)
+    dv, dw = _apply(rows, rows.t2, rows.r2, f_imp[:, 1], dv, dw)
     return dv, dw
 
 
 def solve_contacts_once(rows: ContactRows, n_imp, f_imp, dv, dw):
     """One velocity iteration over all contact rows: normal sub-phase then
     coupled friction sub-phase."""
-    JaA = jnp.cross(rows.rA, rows.n)
-    JaB = -jnp.cross(rows.rB, rows.n)
-    drel = _row_delta_relvel(rows, rows.n, JaA, JaB, dv, dw)
-    dlam = (rows.rhs - drel) * rows.eff_mass
+    drel = _delta_relvel(rows, rows.n, rows.rn, dv, dw)
+    dlam = (rows.rn.rhs - drel) * rows.rn.eff_mass
     new_imp = jnp.clip(n_imp + dlam, 0.0, BIG)
     dlam = new_imp - n_imp
-    dv, dw = apply_impulse(rows, rows.n, JaA, JaB, dlam, dv, dw)
+    dv, dw = _apply(rows, rows.n, rows.rn, dlam, dv, dw)
     n_imp = new_imp
 
     # friction: solve both tangent rows, clamp 2D to mu * normal impulse
-    Ja_t1A = jnp.cross(rows.rA, rows.t1)
-    Ja_t1B = -jnp.cross(rows.rB, rows.t1)
-    Ja_t2A = jnp.cross(rows.rA, rows.t2)
-    Ja_t2B = -jnp.cross(rows.rB, rows.t2)
-    d1 = (rows.rhs_t1 - _row_delta_relvel(rows, rows.t1, Ja_t1A, Ja_t1B, dv, dw)) * rows.eff_mass_t1
-    d2 = (rows.rhs_t2 - _row_delta_relvel(rows, rows.t2, Ja_t2A, Ja_t2B, dv, dw)) * rows.eff_mass_t2
+    d1 = (rows.r1.rhs - _delta_relvel(rows, rows.t1, rows.r1, dv, dw)) * rows.r1.eff_mass
+    d2 = (rows.r2.rhs - _delta_relvel(rows, rows.t2, rows.r2, dv, dw)) * rows.r2.eff_mass
     imp1 = f_imp[:, 0] + d1
     imp2 = f_imp[:, 1] + d2
     max_len = rows.friction * n_imp
@@ -259,8 +254,8 @@ def solve_contacts_once(rows: ContactRows, n_imp, f_imp, dv, dw):
                       max_len / jnp.maximum(ln, 1e-12), 1.0)
     imp1 *= scale
     imp2 *= scale
-    dv, dw = apply_impulse(rows, rows.t1, Ja_t1A, Ja_t1B, imp1 - f_imp[:, 0], dv, dw)
-    dv, dw = apply_impulse(rows, rows.t2, Ja_t2A, Ja_t2B, imp2 - f_imp[:, 1], dv, dw)
+    dv, dw = _apply(rows, rows.t1, rows.r1, imp1 - f_imp[:, 0], dv, dw)
+    dv, dw = _apply(rows, rows.t2, rows.r2, imp2 - f_imp[:, 1], dv, dw)
     f_imp = jnp.stack([imp1, imp2], axis=-1)
     return n_imp, f_imp, dv, dw
 
@@ -278,15 +273,12 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
     results immediately, so impact waves advance one contact layer per pass.
     Impulses live in separate accumulators and never feed warm starting
     (reference keeps normal_restitution_impulse separate)."""
-    linvel, angvel = state.linvel, state.angvel
     relvel_threshold = -0.005  # reference restitution_solver.cpp
 
     def outer(_, carry):
         linvel, angvel = carry
-        JaA = jnp.cross(rows.rA, rows.n)
-        JaB = -jnp.cross(rows.rB, rows.n)
-        relvel = (vec.dot(rows.n, linvel[rows.a]) + vec.dot(JaA, angvel[rows.a])
-                  + vec.dot(-rows.n, linvel[rows.b]) + vec.dot(JaB, angvel[rows.b]))
+        relvel = (vec.dot(rows.n, linvel[rows.a]) + vec.dot(rows.rn.JaA, angvel[rows.a])
+                  - vec.dot(rows.n, linvel[rows.b]) + vec.dot(rows.rn.JaB, angvel[rows.b]))
         active = rows.valid & (relvel < relvel_threshold) & (rows.restitution > 0)
         rhs = -relvel * (1.0 + rows.restitution)
 
@@ -294,17 +286,20 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
         dw = jnp.zeros_like(angvel)
         n_imp = jnp.zeros_like(rhs)
         f_imp = jnp.zeros(rhs.shape + (2,))
-        sub_rows = dataclasses.replace(rows, valid=active, rhs=rhs,
-                                       rhs_t1=jnp.zeros_like(rhs),
-                                       rhs_t2=jnp.zeros_like(rhs))
+        sub = dataclasses.replace(
+            rows, valid=active,
+            rn=dataclasses.replace(rows.rn, rhs=rhs),
+            r1=dataclasses.replace(rows.r1, rhs=jnp.zeros_like(rhs)),
+            r2=dataclasses.replace(rows.r2, rhs=jnp.zeros_like(rhs)))
 
         def inner(_, c):
             n_i, f_i, dv, dw = c
-            return solve_contacts_once(sub_rows, n_i, f_i, dv, dw)
+            return solve_contacts_once(sub, n_i, f_i, dv, dw)
 
         n_imp, f_imp, dv, dw = jax.lax.fori_loop(
             0, num_individual_iterations, inner, (n_imp, f_imp, dv, dw))
         return linvel + dv, angvel + dw
 
-    linvel, angvel = jax.lax.fori_loop(0, num_iterations, outer, (linvel, angvel))
+    linvel, angvel = jax.lax.fori_loop(0, num_iterations, outer,
+                                       (state.linvel, state.angvel))
     return linvel, angvel
