@@ -1,0 +1,118 @@
+"""Runtime body creation/destruction into pre-allocated slots.
+
+The reference creates entities dynamically in the EnTT registry
+(make_rigidbody / registry.destroy). With a fixed-capacity SoA world, runtime
+creation claims the first free slot and writes the def's columns functionally
+(SURVEY §7 hard part 5: dynamic population under fixed capacity).
+Polyhedron/compound/mesh shapes must reference shapes already present in the
+world's side tables (share the shape object used at build time).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..shapes.params import PolyhedronShape, ShapeType
+from ..shapes.inertia import moment_of_inertia, polyhedron_inertia
+from .builder import RigidBodyDef
+from .state import KIND_DYNAMIC, WorldState
+
+
+def find_free_slot(state: WorldState) -> int:
+    valid = np.asarray(state.valid)
+    free = np.nonzero(~valid)[0]
+    if len(free) == 0:
+        raise RuntimeError("world at capacity — rebuild with a larger capacity")
+    return int(free[0])
+
+
+def spawn_rigidbody(state: WorldState, d: RigidBodyDef, slot: int | None = None,
+                    default_gravity=(0.0, -9.8, 0.0),
+                    poly_index: int | None = None):
+    """Returns (state, slot). Mirrors make_rigidbody
+    (src/edyn/util/rigidbody.cpp) against a live world."""
+    i = find_free_slot(state) if slot is None else slot
+
+    if d.shape is None:
+        stype, sparams = ShapeType.NONE, (0.0, 0.0, 0.0, 0.0)
+        sindex = 0
+    elif isinstance(d.shape, PolyhedronShape):
+        assert poly_index is not None, \
+            "runtime polyhedron spawn requires poly_index into the world's table"
+        stype = ShapeType.POLYHEDRON
+        sparams = (float(poly_index), 0.0, 0.0, 0.0)
+        sindex = poly_index
+    else:
+        stype, sparams = d.shape.pack()
+        sindex = 0
+
+    if d.kind == KIND_DYNAMIC:
+        assert d.mass > 0 and np.isfinite(d.mass)
+        mass_inv = 1.0 / d.mass
+        if d.inertia is not None:
+            I = np.asarray(d.inertia, np.float64)
+            I = np.diag(I) if I.ndim == 1 else I
+        elif isinstance(d.shape, PolyhedronShape):
+            I = polyhedron_inertia(d.shape.vertices, d.mass)
+        elif d.shape is not None:
+            I = np.diag(moment_of_inertia(int(stype), sparams, d.mass))
+        else:
+            raise ValueError("dynamic amorphous body requires explicit inertia")
+        inertia_inv = np.linalg.inv(I)
+        grav = d.gravity if d.gravity is not None else default_gravity
+    else:
+        mass_inv = 0.0
+        inertia_inv = np.zeros((3, 3))
+        grav = (0.0, 0.0, 0.0)
+
+    m = d.material
+    orn = np.asarray(d.orientation, np.float64)
+    orn = orn / np.linalg.norm(orn)
+
+    st = state
+    set_ = lambda col, val: getattr(st, col).at[i].set(val)
+    st = dataclasses.replace(
+        st,
+        valid=set_("valid", True),
+        kind=set_("kind", d.kind),
+        pos=set_("pos", jnp.asarray(d.position, jnp.float32)),
+        orn=set_("orn", jnp.asarray(orn, jnp.float32)),
+        linvel=set_("linvel", jnp.asarray(d.linvel, jnp.float32)),
+        angvel=set_("angvel", jnp.asarray(d.angvel, jnp.float32)),
+        mass_inv=set_("mass_inv", mass_inv),
+        inertia_inv=set_("inertia_inv", jnp.asarray(inertia_inv, jnp.float32)),
+        gravity=set_("gravity", jnp.asarray(grav, jnp.float32)),
+        restitution=set_("restitution", m.restitution if m else 0.0),
+        friction=set_("friction", m.friction if m else 0.5),
+        spin_friction=set_("spin_friction", m.spin_friction if m else 0.0),
+        roll_friction=set_("roll_friction", m.roll_friction if m else 0.0),
+        stiffness=set_("stiffness", m.stiffness if m else 1e10),
+        damping=set_("damping", m.damping if m else 1e10),
+        has_material=set_("has_material", m is not None),
+        material_id=set_("material_id", m.id if m else -1),
+        group=set_("group", jnp.uint32(d.collision_group)),
+        mask=set_("mask", jnp.uint32(d.collision_mask)),
+        shape_type=set_("shape_type", int(stype)),
+        shape_params=set_("shape_params", jnp.asarray(sparams, jnp.float32)),
+        shape_index=set_("shape_index", sindex),
+        sleeping_disabled=set_("sleeping_disabled", d.sleeping_disabled),
+        networked=set_("networked", d.networked),
+        asleep=set_("asleep", False),
+        sleep_timer=set_("sleep_timer", 0.0),
+    )
+    return st, i
+
+
+def destroy_rigidbody(state: WorldState, i: int) -> WorldState:
+    """reference: clear_rigidbody (src/edyn/util/rigidbody.cpp)."""
+    return dataclasses.replace(
+        state,
+        valid=state.valid.at[i].set(False),
+        shape_type=state.shape_type.at[i].set(int(ShapeType.NONE)),
+        linvel=state.linvel.at[i].set(0.0),
+        angvel=state.angvel.at[i].set(0.0),
+        mass_inv=state.mass_inv.at[i].set(0.0),
+        asleep=state.asleep.at[i].set(False),
+    )

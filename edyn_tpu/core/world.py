@@ -138,6 +138,20 @@ class World:
             sleep_timer=st.sleep_timer.at[i].set(0.0))
         return self
 
+    def spawn(self, def_, poly_index=None) -> int:
+        """Create a rigid body in a free slot at runtime (reference:
+        make_rigidbody on a live registry)."""
+        from .spawn import spawn_rigidbody
+        self.state, idx = spawn_rigidbody(self.state, def_,
+                                          poly_index=poly_index)
+        return idx
+
+    def destroy(self, i):
+        """reference: clear_rigidbody."""
+        from .spawn import destroy_rigidbody
+        self.state = destroy_rigidbody(self.state, i)
+        return self
+
     def raycast(self, p0, p1):
         """Cast one ray or a batch (reference: edyn::raycast). Returns dict
         with fraction/entity/normal (arrays for a batch, scalars for one)."""
@@ -152,6 +166,16 @@ class World:
                     "entity": int(out["entity"][0]),
                     "normal": out["normal"][0]}
         return out
+
+    def wake_set(self, indices):
+        if not indices:
+            return self
+        idx = jnp.asarray(sorted(indices), jnp.int32)
+        st = self.state
+        self.state = dataclasses.replace(
+            st, asleep=st.asleep.at[idx].set(False),
+            sleep_timer=st.sleep_timer.at[idx].set(0.0))
+        return self
 
     def wake_up(self, i):
         """reference: wake_up_island."""

@@ -1,0 +1,173 @@
+"""Network client (reference: src/edyn/networking/sys/client_side.cpp:1-948 —
+clock sync, created/destroyed entity packets, snapshot handling with
+extrapolation-or-snap, discontinuity accumulation, input history upload).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..core.builder import RigidBodyDef
+from ..replication.entity_map import EntityMap
+from ..replication.snapshot import (
+    TRANSIENT_COMPONENTS, RegistrySnapshot, apply_snapshot, extract_snapshot,
+)
+from . import packets as pk
+from .clock_sync import ClockSync
+from .extrapolation import extrapolate
+from .input_history import InputHistory
+from .server import def_to_dict
+
+CLOCK_SYNC_INTERVAL = 1.0
+SNAPSHOT_RATE = 30.0  # client input/state upload rate
+
+
+class NetworkClient:
+    def __init__(self, world, send: Callable, enable_extrapolation: bool = True):
+        self.world = world
+        self.send = send
+        self.clock = ClockSync()
+        self.entity_map = EntityMap()   # remote(server) -> local
+        self.owned: set = set()          # local entities created by this client
+        self.input_history = InputHistory()
+        self.enable_extrapolation = enable_extrapolation
+        self.server_settings: Optional[pk.ServerSettings] = None
+        self._last_clock_sync = -1e9
+        self._last_snapshot = -1e9
+        self._pending_created: Dict[int, RigidBodyDef] = {}
+        # discontinuity offsets for presentation smoothing
+        self.disc_pos = np.zeros((world.state.capacity, 3), np.float32)
+
+    # -- local entity creation -----------------------------------------
+    def create_entity(self, def_: RigidBodyDef) -> int:
+        """Spawn locally and announce to the server (reference: client_side
+        created-entities packet)."""
+        def_ = dataclasses.replace(def_, networked=True)
+        idx = self.world.spawn(def_)
+        self.owned.add(idx)
+        self._pending_created[idx] = def_
+        return idx
+
+    # -- per-frame update ----------------------------------------------
+    def update(self, now: float):
+        if now - self._last_clock_sync >= CLOCK_SYNC_INTERVAL:
+            self._last_clock_sync = now
+            self.send(self.clock.make_request(now))
+
+        if self._pending_created:
+            ents = sorted(self._pending_created)
+            self.send(pk.ClientCreatedEntity(
+                timestamp=now, entities=ents,
+                defs=[def_to_dict(self._pending_created[e]) for e in ents]))
+            self._pending_created.clear()
+
+        if self.owned and now - self._last_snapshot >= 1.0 / SNAPSHOT_RATE:
+            self._last_snapshot = now
+            snap = extract_snapshot(self.world.state, sorted(self.owned),
+                                    TRANSIENT_COMPONENTS,
+                                    timestamp=self.clock.to_remote(now))
+            # entities sent under their server-side ids
+            snap.entities = np.array(
+                [self.entity_map.to_remote(int(e)) if self.entity_map.has_local(int(e))
+                 else -1 for e in snap.entities], np.int32)
+            keep = snap.entities >= 0
+            snap.entities = snap.entities[keep]
+            snap.pools = {k: v[keep] for k, v in snap.pools.items()}
+            if len(snap.entities):
+                self.send(pk.TransientSnapshot(
+                    timestamp=self.clock.to_remote(now), snapshot=snap))
+
+        # decay discontinuities (reference: update_presentation.cpp:19-55)
+        self.disc_pos *= 0.9
+
+    # -- receive --------------------------------------------------------
+    def receive(self, packet, now: float):
+        if isinstance(packet, pk.TimeResponse):
+            self.clock.process_response(packet, now)
+        elif isinstance(packet, pk.ServerSettings):
+            self.server_settings = packet
+            self.world.set_settings(fixed_dt=packet.fixed_dt,
+                                    gravity=tuple(packet.gravity))
+        elif isinstance(packet, pk.UpdateEntityMap):
+            for rem, srv in packet.pairs:
+                # ours: rem is OUR local id, srv is the server-side id
+                self.entity_map.insert(srv, rem)
+        elif isinstance(packet, pk.EntityEntered):
+            self._handle_entered(packet)
+        elif isinstance(packet, pk.EntityExited):
+            for srv in packet.entities:
+                if self.entity_map.has_remote(srv):
+                    loc = self.entity_map.to_local(srv)
+                    if loc not in self.owned:
+                        self.world.destroy(loc)
+                    self.entity_map.erase_local(loc)
+        elif isinstance(packet, pk.TransientSnapshot):
+            self._handle_snapshot(packet, now)
+
+    def _handle_entered(self, packet: pk.EntityEntered):
+        """Instantiate server entities locally (reference:
+        client_side.cpp entity_entered handler)."""
+        snap = packet.snapshot
+        from ..replication.snapshot import COMPONENT_COLUMNS
+        from ..core.spawn import spawn_rigidbody
+        for row, srv in enumerate(snap.entities):
+            srv = int(srv)
+            if self.entity_map.has_remote(srv):
+                continue
+            pools = {k: v[row] for k, v in snap.pools.items()}
+            state, loc = _spawn_from_pools(self.world.state, pools)
+            self.world.state = state
+            self.entity_map.insert(srv, loc)
+
+    def _handle_snapshot(self, packet: pk.TransientSnapshot, now: float):
+        """Apply a server state snapshot: extrapolate from packet time to the
+        present, else snap (reference: client_side.cpp:712-735)."""
+        snap = packet.snapshot
+        local_time = self.clock.to_local(packet.timestamp)
+        # never let the server override entities we own (client prediction)
+        ent_keep = np.array([not (self.entity_map.has_remote(int(e)) and
+                                  self.entity_map.to_local(int(e)) in self.owned)
+                             for e in snap.entities], bool)
+        snap = RegistrySnapshot(entities=snap.entities[ent_keep],
+                                pools={k: v[ent_keep] for k, v in snap.pools.items()},
+                                timestamp=snap.timestamp)
+        if len(snap.entities) == 0:
+            return
+        old_pos = np.asarray(self.world.state.pos)
+        if self.enable_extrapolation and now - local_time > self.world.settings.fixed_dt:
+            state, steps, timed_out = extrapolate(
+                self.world, snap, self.entity_map, local_time, now,
+                self.input_history)
+            # merge extrapolated transforms of snapshot entities into the live
+            # world (process_extrapolation_result analogue)
+            local = np.array([self.entity_map.to_local(int(e))
+                              for e in snap.entities], np.int32)
+            merged = extract_snapshot(state, local, TRANSIENT_COMPONENTS)
+            self.world.state = apply_snapshot(self.world.state, merged)
+            self.world.wake_set(set(local.tolist()))
+        else:
+            self.world.state = apply_snapshot(self.world.state, snap,
+                                              self.entity_map)
+        # accumulate discontinuity = old - new for presentation smoothing
+        new_pos = np.asarray(self.world.state.pos)
+        self.disc_pos += old_pos - new_pos
+
+    def presentation_position(self, i: int):
+        """Smoothed position (reference: present_position + discontinuity)."""
+        return np.asarray(self.world.state.pos[i]) + self.disc_pos[i]
+
+
+def _spawn_from_pools(state, pools: dict):
+    """Create a body slot directly from snapshot component pools."""
+    import jax.numpy as jnp
+    from ..core.spawn import find_free_slot
+    from ..replication.snapshot import COMPONENT_COLUMNS
+    i = find_free_slot(state)
+    updates = {"valid": state.valid.at[i].set(True)}
+    for name, val in pools.items():
+        attr = COMPONENT_COLUMNS[name]
+        col = getattr(state, attr)
+        updates[attr] = col.at[i].set(jnp.asarray(val, col.dtype))
+    return dataclasses.replace(state, **updates), i

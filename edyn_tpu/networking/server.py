@@ -1,0 +1,176 @@
+"""Authoritative network server (reference:
+src/edyn/networking/sys/server_side.cpp:1-769 — clock sync, playout-delay
+jitter buffer, ownership-checked snapshot import, interest management,
+snapshot export, client entity registration).
+
+Transport-agnostic like the reference: the app supplies a ``send(client_id,
+packet)`` callable; ``receive``/``update`` drive everything else.
+"""
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..core.builder import Material, RigidBodyDef
+from ..replication.entity_map import EntityMap
+from ..replication.snapshot import (
+    CREATION_COMPONENTS, TRANSIENT_COMPONENTS, apply_snapshot, extract_snapshot,
+)
+from . import packets as pk
+from .interest import InterestState
+
+PLAYOUT_DELAY_MULTIPLIER = 1.2  # reference: server_side.cpp:513-541
+MAX_PLAYOUT_DELAY = 1.0
+SNAPSHOT_RATE = 20.0  # Hz
+
+
+@dataclasses.dataclass
+class RemoteClient:
+    """reference: networking/comp/remote_client.hpp:21."""
+    id: int
+    send: Callable
+    entity_map: EntityMap = dataclasses.field(default_factory=EntityMap)
+    owned: set = dataclasses.field(default_factory=set)
+    interest: InterestState = dataclasses.field(default_factory=InterestState)
+    latency: float = 0.0
+    playout_delay: float = 0.05
+    last_snapshot_time: float = -1e9
+    snapshot_rate: float = SNAPSHOT_RATE
+
+
+class NetworkServer:
+    def __init__(self, world):
+        self.world = world
+        self.clients: Dict[int, RemoteClient] = {}
+        # jitter buffer: (due_time, seq, client_id, packet)
+        self._timed: list = []
+        self._seq = 0
+
+    # -- lifecycle ------------------------------------------------------
+    def register_client(self, client_id: int, send: Callable,
+                        interest_half_extents=(50.0, 50.0, 50.0)) -> RemoteClient:
+        c = RemoteClient(id=client_id, send=send)
+        c.interest = InterestState(half_extents=interest_half_extents)
+        self.clients[client_id] = c
+        c.send(pk.ServerSettings(
+            fixed_dt=self.world.settings.fixed_dt,
+            gravity=self.world.settings.gravity,
+            playout_delay_multiplier=PLAYOUT_DELAY_MULTIPLIER))
+        return c
+
+    # -- receive --------------------------------------------------------
+    def receive(self, client_id: int, packet, now: float):
+        c = self.clients[client_id]
+        if isinstance(packet, pk.TimeRequest):
+            # respond immediately (reference: server clock sync path)
+            c.send(pk.TimeResponse(timestamp=now, id=packet.id,
+                                   origin_time=packet.timestamp))
+            c.latency = max(c.latency, 0.0)
+        elif isinstance(packet, pk.ClientCreatedEntity):
+            self._handle_create(c, packet, now)
+        elif isinstance(packet, pk.ClientDestroyedEntity):
+            for rem in packet.entities:
+                if c.entity_map.has_remote(rem):
+                    loc = c.entity_map.to_local(rem)
+                    if loc in c.owned:
+                        self.world.destroy(loc)
+                        c.owned.discard(loc)
+                        c.entity_map.erase_local(loc)
+        elif isinstance(packet, pk.TransientSnapshot):
+            # jitter buffer: process at packet_time + playout delay
+            # (reference: server_process_timed_packets, server_side.cpp:309-319)
+            latency = max(now - packet.timestamp, 0.0)
+            c.latency = 0.8 * c.latency + 0.2 * latency
+            c.playout_delay = min(c.latency * PLAYOUT_DELAY_MULTIPLIER,
+                                  MAX_PLAYOUT_DELAY)
+            due = packet.timestamp + c.playout_delay
+            self._seq += 1
+            heapq.heappush(self._timed, (due, self._seq, client_id, packet))
+
+    def _handle_create(self, c: RemoteClient, packet: pk.ClientCreatedEntity,
+                       now: float):
+        """Instantiate client-created entities; reply with the entity map
+        (reference: server_side.cpp client entity registration)."""
+        pairs = []
+        for rem, dd in zip(packet.entities, packet.defs):
+            d = _def_from_dict(dd)
+            d.networked = True
+            loc = self.world.spawn(d)
+            c.entity_map.insert(rem, loc)
+            c.owned.add(loc)
+            pairs.append((rem, loc))
+        c.send(pk.UpdateEntityMap(timestamp=now, pairs=pairs))
+
+    # -- update ---------------------------------------------------------
+    def update(self, now: float):
+        # 1. drain due timed packets with ownership checks
+        while self._timed and self._timed[0][0] <= now:
+            _, _, cid, packet = heapq.heappop(self._timed)
+            c = self.clients.get(cid)
+            if c is None:
+                continue
+            snap = packet.snapshot
+            # ownership: a client may only move entities it owns (reference:
+            # server_side.cpp:46-76 snapshot import w/ ownership checks)
+            self.world.state = apply_snapshot(
+                self.world.state, snap, c.entity_map, only_entities=c.owned)
+            self.world.wake_set(c.owned)
+
+        # 2. per-client interest + snapshot export
+        for c in self.clients.values():
+            entered, exited = c.interest.update(self.world.state)
+            if entered:
+                ent = sorted(entered)
+                snap = extract_snapshot(self.world.state, ent,
+                                        CREATION_COMPONENTS, timestamp=now)
+                owners = {e: cid for cid, cl in self.clients.items()
+                          for e in cl.owned if e in entered}
+                c.send(pk.EntityEntered(timestamp=now, snapshot=snap,
+                                        owners=owners))
+            if exited:
+                c.send(pk.EntityExited(timestamp=now,
+                                       entities=sorted(exited)))
+            if now - c.last_snapshot_time >= 1.0 / c.snapshot_rate:
+                c.last_snapshot_time = now
+                ent = sorted(c.interest.current
+                             - {e for e in c.interest.current
+                                if not self._is_dynamic(e)})
+                if ent:
+                    snap = extract_snapshot(self.world.state, ent,
+                                            TRANSIENT_COMPONENTS, timestamp=now)
+                    c.send(pk.TransientSnapshot(timestamp=now, snapshot=snap))
+
+    def _is_dynamic(self, e: int) -> bool:
+        return bool(np.asarray(self.world.state.kind)[e] == 0)
+
+
+def _def_from_dict(d: dict) -> RigidBodyDef:
+    from .. import shapes as sh
+    shape = None
+    sd = d.get("shape")
+    if sd is not None:
+        cls = getattr(sh, sd["type"])
+        shape = cls(**{k: v for k, v in sd.items() if k != "type"})
+    mat = Material(**d["material"]) if d.get("material") else None
+    kw = {k: v for k, v in d.items() if k not in ("shape", "material")}
+    return RigidBodyDef(shape=shape, material=mat, **kw)
+
+
+def def_to_dict(d: RigidBodyDef) -> dict:
+    shape = None
+    if d.shape is not None:
+        shape = {"type": type(d.shape).__name__}
+        shape.update({k: (list(v) if isinstance(v, (tuple, list, np.ndarray)) else v)
+                      for k, v in dataclasses.asdict(d.shape).items()})
+    out = dataclasses.asdict(d)
+    out["shape"] = shape
+    out["material"] = dataclasses.asdict(d.material) if d.material else None
+    for k in ("position", "orientation", "linvel", "angvel"):
+        out[k] = list(np.asarray(out[k], np.float64))
+    out.pop("inertia", None)
+    out.pop("center_of_mass", None)
+    out.pop("gravity", None)
+    return out

@@ -1,0 +1,106 @@
+"""Registry snapshots: per-component pools over a set of entities.
+
+Reference: registry_snapshot / pool_snapshot
+(include/edyn/networking/packet/registry_snapshot.hpp:19-37,
+include/edyn/networking/util/pool_snapshot.hpp). The EnTT type-erased pools
+become named numpy column slices of the SoA state; export = device->host
+gather, import = host->device scatter with entity remapping.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .entity_map import EntityMap
+
+# component registry: name -> state attribute (column arrays indexed by body)
+COMPONENT_COLUMNS = {
+    "position": "pos",
+    "orientation": "orn",
+    "linvel": "linvel",
+    "angvel": "angvel",
+    "mass_inv": "mass_inv",
+    "inertia_inv": "inertia_inv",
+    "restitution": "restitution",
+    "friction": "friction",
+    "spin_friction": "spin_friction",
+    "roll_friction": "roll_friction",
+    "stiffness": "stiffness",
+    "damping": "damping",
+    "has_material": "has_material",
+    "gravity": "gravity",
+    "kind": "kind",
+    "group": "group",
+    "mask": "mask",
+    "shape_type": "shape_type",
+    "shape_params": "shape_params",
+    "shape_index": "shape_index",
+    "sleeping_disabled": "sleeping_disabled",
+    "networked": "networked",
+}
+
+# the transient set re-sent continuously (reference: transient components in
+# client/server_snapshot_exporter — transforms and velocities)
+TRANSIENT_COMPONENTS = ("position", "orientation", "linvel", "angvel")
+# everything needed to instantiate a body remotely (reference: entity_entered
+# packet carrying full component pools)
+CREATION_COMPONENTS = tuple(COMPONENT_COLUMNS)
+
+
+@dataclasses.dataclass
+class RegistrySnapshot:
+    """entities are REMOTE indices from the producer's registry; pools map
+    component name -> [len(entities), ...] arrays."""
+    entities: np.ndarray
+    pools: Dict[str, np.ndarray]
+    timestamp: float = 0.0
+
+
+def extract_snapshot(state, entities: Iterable[int],
+                     components: Iterable[str] = TRANSIENT_COMPONENTS,
+                     timestamp: float = 0.0) -> RegistrySnapshot:
+    ent = np.asarray(list(entities), np.int32)
+    pools = {}
+    for name in components:
+        col = np.asarray(getattr(state, COMPONENT_COLUMNS[name]))
+        pools[name] = col[ent]
+    return RegistrySnapshot(entities=ent, pools=pools, timestamp=timestamp)
+
+
+def apply_snapshot(state, snap: RegistrySnapshot, emap: Optional[EntityMap] = None,
+                   only_entities: Optional[set] = None):
+    """Write snapshot pools into the state. Remote entities are remapped via
+    ``emap`` (identity when None). Returns the updated state.
+
+    NaN/Inf payloads are rejected per entity (reference: packet validation,
+    Design.md:381-383)."""
+    if len(snap.entities) == 0:
+        return state
+    if emap is None:
+        local = snap.entities
+        keep = np.ones(len(local), bool)
+    else:
+        local = np.array([emap.to_local(int(e)) if emap.has_remote(int(e)) else -1
+                          for e in snap.entities], np.int32)
+        keep = local >= 0
+    if only_entities is not None:
+        keep &= np.isin(local, list(only_entities))
+
+    updates = {}
+    for name, pool in snap.pools.items():
+        attr = COMPONENT_COLUMNS[name]
+        col = getattr(state, attr)
+        pool = np.asarray(pool)
+        ok = keep.copy()
+        if np.issubdtype(pool.dtype, np.floating):
+            flat = pool.reshape(len(pool), -1)
+            ok &= np.isfinite(flat).all(axis=1)
+        if not ok.any():
+            continue
+        idx = jnp.asarray(local[ok])
+        vals = jnp.asarray(pool[ok], dtype=col.dtype)
+        updates[attr] = col.at[idx].set(vals)
+    return dataclasses.replace(state, **updates)

@@ -1,0 +1,92 @@
+"""World checkpointing.
+
+The reference has no world checkpointing — only per-component serialize()
+functions and binary archives (SURVEY §5.4; include/edyn/serialization/).
+Because the TPU world is one pytree, full save/restore is a flatten + npz (or
+orbax when available), which strictly exceeds the reference's capability.
+"""
+from __future__ import annotations
+
+import io
+import json
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import Settings
+from ..core.state import WorldState
+
+FORMAT_VERSION = 1
+
+
+def _paths(state) -> dict:
+    flat, _ = jax.tree_util.tree_flatten_with_path(state)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(getattr(p, "name", str(getattr(p, "idx", p))) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_world(path_or_file, state: WorldState, settings: Optional[Settings] = None):
+    """Serialize the whole world (and optionally settings) to an .npz."""
+    arrays = _paths(state)
+    meta = {"format": FORMAT_VERSION}
+    if settings is not None:
+        meta["settings"] = {k: (list(v) if isinstance(v, tuple) else v)
+                            for k, v in settings.__dict__.items()}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path_or_file, **arrays)
+
+
+def load_world(path_or_file, template: Optional[WorldState] = None):
+    """Restore (state, settings|None). With ``template`` the arrays are
+    validated against an existing world's treedef; without it the state is
+    rebuilt structurally (capacities come from the file)."""
+    data = np.load(path_or_file)
+    meta = json.loads(bytes(data["__meta__"]).decode()) if "__meta__" in data else {}
+    settings = None
+    if "settings" in meta:
+        s = dict(meta["settings"])
+        if "gravity" in s:
+            s["gravity"] = tuple(s["gravity"])
+        settings = Settings(**s)
+
+    if template is None:
+        # rebuild via a zero state of matching capacities
+        from ..core.state import ContactTable, JointTable, PolyTable
+        N = data["pos"].shape[0]
+        M = data["contacts/key"].shape[0]
+        J = data["joints/jtype"].shape[0]
+        P = data["poly/verts"].shape[0]
+        poly = PolyTable(
+            verts=jax.numpy.asarray(data["poly/verts"]),
+            vert_mask=jax.numpy.asarray(data["poly/vert_mask"]),
+            face_normals=jax.numpy.asarray(data["poly/face_normals"]),
+            face_mask=jax.numpy.asarray(data["poly/face_mask"]),
+            edge_dirs=jax.numpy.asarray(data["poly/edge_dirs"]),
+            edge_mask=jax.numpy.asarray(data["poly/edge_mask"]),
+        ) if P else PolyTable.empty()
+        template = WorldState.zeros(N, M, J, poly)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in flat:
+        key = "/".join(getattr(p, "name", str(getattr(p, "idx", p))) for p in path)
+        arr = data[key]
+        assert arr.shape == leaf.shape, f"{key}: {arr.shape} != {leaf.shape}"
+        leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state, settings
+
+
+def world_to_bytes(state: WorldState, settings: Optional[Settings] = None) -> bytes:
+    buf = io.BytesIO()
+    save_world(buf, state, settings)
+    return buf.getvalue()
+
+
+def world_from_bytes(blob: bytes, template: Optional[WorldState] = None):
+    return load_world(io.BytesIO(blob), template)

@@ -1,0 +1,197 @@
+"""Networking without a network (mirrors reference
+test/edyn/networking/test_net_imp_exp.cpp): two worlds + direct packet
+handoff with optional simulated latency — never sockets."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import edyn_tpu as et
+from edyn_tpu.networking import NetworkClient, NetworkServer, packets as pk
+from edyn_tpu.replication.snapshot import (
+    RegistrySnapshot, apply_snapshot, extract_snapshot,
+)
+from edyn_tpu.replication.entity_map import EntityMap
+from edyn_tpu.serialization.checkpoint import world_from_bytes, world_to_bytes
+
+
+def _empty_world(capacity=32):
+    b = et.WorldBuilder()
+    b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.PlaneShape((0, 1, 0), 0.0),
+        material=et.Material(friction=0.6)))
+    return et.make_world(b, capacity=capacity)
+
+
+class Channel:
+    """Direct packet pipe with optional latency."""
+    def __init__(self, latency=0.0):
+        self.latency = latency
+        self.queue = []
+
+    def send(self, packet):
+        self.queue.append(packet)
+
+    def drain(self, handler, now):
+        pending = list(self.queue)
+        self.queue.clear()
+        for p in pending:
+            handler(p, now)
+
+
+def test_snapshot_export_import_roundtrip():
+    """Direct snapshot between two registries (reference test_net_imp_exp)."""
+    w1 = _empty_world()
+    ball = w1.spawn(et.RigidBodyDef(mass=2.0, shape=et.SphereShape(0.5),
+                                    position=(1, 5, 2), linvel=(1, 2, 3)))
+    snap = extract_snapshot(w1.state, [ball],
+                            components=("position", "linvel", "orientation",
+                                        "angvel"))
+    w2 = _empty_world()
+    ball2 = w2.spawn(et.RigidBodyDef(mass=2.0, shape=et.SphereShape(0.5)))
+    emap = EntityMap()
+    emap.insert(ball, ball2)
+    w2.state = apply_snapshot(w2.state, snap, emap)
+    np.testing.assert_allclose(w2.position(ball2), [1, 5, 2], atol=1e-6)
+    np.testing.assert_allclose(w2.linvel(ball2), [1, 2, 3], atol=1e-6)
+
+
+def test_snapshot_rejects_nan():
+    """Packet validation (reference Design.md:381-383)."""
+    w = _empty_world()
+    ball = w.spawn(et.RigidBodyDef(mass=1.0, shape=et.SphereShape(0.5),
+                                   position=(0, 5, 0)))
+    snap = RegistrySnapshot(
+        entities=np.array([ball], np.int32),
+        pools={"position": np.array([[np.nan, 1.0, 0.0]], np.float32)})
+    w.state = apply_snapshot(w.state, snap)
+    assert np.isfinite(np.asarray(w.state.pos[ball])).all()
+    np.testing.assert_allclose(w.position(ball), [0, 5, 0], atol=1e-6)
+
+
+def test_clock_sync():
+    from edyn_tpu.networking.clock_sync import ClockSync
+    cs = ClockSync()
+    offset = 42.0  # server clock ahead
+    now = 100.0
+    for _ in range(5):
+        req = cs.make_request(now)
+        rtt = 0.1
+        server_time = now + rtt / 2 + offset
+        resp = pk.TimeResponse(timestamp=server_time, id=req.id,
+                               origin_time=req.timestamp)
+        now += rtt
+        cs.process_response(resp, now)
+        now += 0.9
+    assert abs(cs.time_delta - offset) < 1e-3
+    assert abs(cs.to_local(now + offset) - now) < 1e-3
+
+
+def test_client_server_entity_sync_and_streaming():
+    """Full loop: client creates an entity, server owns the sim, client
+    receives streamed state; server is authoritative."""
+    server_world = _empty_world()
+    client_world = _empty_world()
+
+    to_client = Channel()
+    to_server = Channel()
+
+    server = NetworkServer(server_world)
+    server.register_client(1, to_client.send)
+    client = NetworkClient(client_world, to_server.send,
+                           enable_extrapolation=False)
+
+    now = 0.0
+    ball = client.create_entity(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 5, 0),
+        material=et.Material(friction=0.5)))
+    dt = 1 / 60
+
+    for step in range(120):
+        now += dt
+        client.update(now)
+        to_server.drain(lambda p, t: server.receive(1, p, t), now)
+        server_world.step(1)
+        server.update(now)
+        to_client.drain(client.receive, now)
+
+    # server instantiated the client's ball and simulated it falling
+    assert client.entity_map.has_local(ball)
+    srv_ball = client.entity_map.to_remote(ball)
+    assert float(server_world.position(srv_ball)[1]) < 5.0
+    # the server also streams its own view back; a second client-side entity
+    # for the server ball must NOT have been created (identity preserved)
+    assert len(client.owned) == 1
+
+
+def test_server_streams_to_observer_client():
+    """A client that owns nothing still receives entity_entered + snapshots."""
+    server_world = _empty_world()
+    ball = server_world.spawn(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 5, 0),
+        material=et.Material(friction=0.5), networked=True))
+
+    client_world = _empty_world()
+    to_client = Channel()
+    to_server = Channel()
+    server = NetworkServer(server_world)
+    server.register_client(1, to_client.send)
+    client = NetworkClient(client_world, to_server.send,
+                           enable_extrapolation=False)
+
+    now = 0.0
+    dt = 1 / 60
+    for step in range(90):
+        now += dt
+        client.update(now)
+        to_server.drain(lambda p, t: server.receive(1, p, t), now)
+        server_world.step(1)
+        client_world.step(1)   # client simulates between snapshots
+        server.update(now)
+        to_client.drain(client.receive, now)
+
+    assert client.entity_map.has_remote(ball)
+    loc = client.entity_map.to_local(ball)
+    # client's copy tracks the server's falling ball
+    d = abs(float(client_world.position(loc)[1])
+            - float(server_world.position(ball)[1]))
+    assert d < 0.5, f"client desynced by {d}"
+
+
+def test_ownership_rejected():
+    """Server ignores snapshot writes to entities the client doesn't own
+    (reference: server_side.cpp ownership checks)."""
+    server_world = _empty_world()
+    ball = server_world.spawn(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 5, 0),
+        networked=True))
+    server = NetworkServer(server_world)
+    sent = []
+    server.register_client(1, sent.append)
+    # forged snapshot targeting the server's own entity
+    snap = extract_snapshot(server_world.state, [ball], ("position",))
+    snap.pools["position"][:] = [99.0, 99.0, 99.0]
+    c = server.clients[1]
+    c.entity_map.insert(ball, ball)  # pretend mapping exists
+    server.receive(1, pk.TransientSnapshot(timestamp=0.0, snapshot=snap), 0.0)
+    server.update(10.0)  # past any playout delay
+    assert abs(float(server_world.position(ball)[0])) < 1.0
+
+
+def test_checkpoint_roundtrip():
+    """World save/restore (exceeds the reference — SURVEY §5.4)."""
+    b, ids = __import__("edyn_tpu.utils.scenes", fromlist=["scenes"]).box_stack(5)
+    w = et.make_world(b)
+    w.step(30)
+    blob = world_to_bytes(w.state, w.settings)
+    state2, settings2 = world_from_bytes(blob)
+    np.testing.assert_allclose(np.asarray(w.state.pos), np.asarray(state2.pos))
+    np.testing.assert_allclose(np.asarray(w.state.contacts.normal_impulse),
+                               np.asarray(state2.contacts.normal_impulse))
+    assert settings2.fixed_dt == w.settings.fixed_dt
+    # restored world steps identically
+    w2 = et.World(state2, settings2, w.meta)
+    w.step(10)
+    w2.step(10)
+    np.testing.assert_allclose(np.asarray(w.state.pos),
+                               np.asarray(w2.state.pos), atol=1e-6)
