@@ -29,12 +29,19 @@ TILT = 0.02  # radians-scale tangent tilt for patch sampling
 
 
 def make_support_kernel(ta: int, tb: int):
-    """Factory: returns a kernel(A: Side, B: Side, threshold) -> ContactResult
-    specialized (at trace time) for the static shape-type pair."""
+    """Factory: returns a kernel(A: Side, B: Side, threshold, axis_validity=None)
+    -> ContactResult specialized (at trace time) for the static shape-type
+    pair. ``axis_validity(axes_oriented) -> bool mask`` lets callers restrict
+    the admissible separating axes (the mesh kernels use it for
+    Voronoi-region internal-edge rejection, Design.md:167-171)."""
 
-    def kernel(A: Side, B: Side, threshold):
+    def kernel(A: Side, B: Side, threshold, axis_validity=None,
+               orient_ref=None):
+        """orient_ref [K,3]: direction axes are oriented along instead of the
+        center delta (mesh kernels pass the triangle normal — the center
+        delta flips under deep penetration, a one-sided surface never does)."""
         K = A.pos.shape[0]
-        delta = A.pos - B.pos
+        delta = orient_ref if orient_ref is not None else A.pos - B.pos
 
         fa, fam = face_axes(ta, A, B.pos)
         fb, fbm = face_axes(tb, B, A.pos)
@@ -56,6 +63,8 @@ def make_support_kernel(ta: int, tb: int):
         # orient every axis toward A
         sign = jnp.where(jnp.sum(axes * delta[:, None, :], -1) >= 0, 1.0, -1.0)
         axes = axes * sign[..., None]
+        if axis_validity is not None:
+            amask &= axis_validity(axes)
 
         # separation per axis
         pa_proj = -support_projection(ta, A, -axes)    # min_A proj = -P_A(-n)
@@ -91,6 +100,24 @@ def make_support_kernel(ta: int, tb: int):
         depth = jnp.concatenate([depth_a, depth_b], 1)
         valid = depth < threshold
         valid &= (best_sep < threshold)[:, None]
+
+        # lateral containment: a candidate is a real closest-proximity point
+        # only if it lies inside BOTH shapes' tangent-plane footprint (slab
+        # bounds along t1/t2). Without this, a flat feature (e.g. a triangle
+        # or large face) contributes its far corners against a small/curved
+        # shape — they sit on the support plane (depth ~ sep) but are nowhere
+        # near the actual contact. (The reference gets this from per-pair
+        # clipping; this is the support-mapped equivalent.)
+        tol = 5e-3
+        for t in (t1, t2):
+            hi_a = support_projection(ta, A, t)
+            lo_a = -support_projection(ta, A, -t)
+            hi_b = support_projection(tb, B, t)
+            lo_b = -support_projection(tb, B, -t)
+            lo = jnp.maximum(lo_a, lo_b)[:, None]
+            hi = jnp.minimum(hi_a, hi_b)[:, None]
+            proj = jnp.sum(on_a * t[:, None, :], -1)
+            valid &= (proj >= lo - tol) & (proj <= hi + tol)
 
         idx4, pv = reduce_to_4(on_a, depth, valid)
         pa4 = gather_points(on_a, idx4)

@@ -64,6 +64,12 @@ KERNELS: dict[tuple[int, int], Callable] = {
 # plane buckets run with the plane as body B regardless of enum order
 KERNELS[(S.PLANE, S.POLYHEDRON)] = lambda A, B, t: poly_plane.collide_polyhedron_plane(B, A, t).swapped()
 
+# convex-vs-trimesh buckets (B = mesh body; paged meshes use the same path)
+from .kernels.mesh import make_mesh_kernel  # noqa: E402
+for _t in (S.SPHERE, S.BOX, S.CAPSULE, S.CYLINDER, S.POLYHEDRON):
+    for _m in (S.MESH, S.PAGED_MESH):
+        KERNELS[(_t, _m)] = make_mesh_kernel(int(_t))
+
 
 def bucket_id(ta, tb):
     """Canonical bucket id with swap flag."""
@@ -133,8 +139,13 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         sw = swap[sel_c]
         ka = jnp.where(sw, b, a)   # kernel body A = canonical lower type
         kb = jnp.where(sw, a, b)
-        res: ContactResult = kernel(_gather_side(state, ka),
-                                    _gather_side(state, kb), threshold)
+        if getattr(kernel, "needs_mesh", False):
+            res: ContactResult = kernel(
+                _gather_side(state, ka), _gather_side(state, kb), threshold,
+                mesh_table=state.mesh, mesh_index=state.shape_index[kb])
+        else:
+            res = kernel(_gather_side(state, ka), _gather_side(state, kb),
+                         threshold)
         res_sw = res.swapped()
         pv = jnp.where(sw[:, None], res_sw.point_valid, res.point_valid) & sel_ok[:, None]
         pa = jnp.where(sw[:, None, None], res_sw.pivot_a, res.pivot_a)

@@ -181,6 +181,29 @@ def raycast(state, p0, p1, max_candidates: int = 16):
 
     t_l, n_l = _ray_shape_local(state.shape_type[flat], state.shape_params[flat],
                                 verts, vmask, fnorm, fmask, p0_l, d_l)
+
+    # MESH candidates: Moller-Trumbore over the mesh's triangles
+    # (reference: raycast.cpp:380-430 mesh/paged-mesh raycast)
+    mesh = state.mesh
+    if mesh.tri_verts.shape[0] > 0:
+        is_mesh = (state.shape_type[flat] == ShapeType.MESH) | \
+                  (state.shape_type[flat] == ShapeType.PAGED_MESH)
+        msi = jnp.clip(state.shape_index[flat], 0, mesh.tri_verts.shape[0] - 1)
+        tv = mesh.tri_verts[msi]                                  # [C,T,3,3]
+        tmask = mesh.tri_mask[msi]
+        t_tri, hit_tri = geom.intersect_segment_triangle(
+            p0_l[:, None, :], d_l[:, None, :],
+            tv[:, :, 0], tv[:, :, 1], tv[:, :, 2])
+        t_tri = jnp.where(tmask & hit_tri, t_tri, BIG)
+        best_tri = jnp.argmin(t_tri, axis=1)
+        t_m = jnp.take_along_axis(t_tri, best_tri[:, None], 1)[:, 0]
+        n_m = jnp.take_along_axis(
+            mesh.tri_normal[msi], best_tri[:, None, None].repeat(3, -1), 1)[:, 0]
+        # orient the surface normal against the ray
+        n_m = jnp.where(vec.dot(n_m, d_l)[:, None] > 0, -n_m, n_m)
+        better = is_mesh & (t_m < t_l)
+        t_l = jnp.where(better, t_m, t_l)
+        n_l = jnp.where(better[:, None], n_m, n_l)
     t = jnp.where(cand_ok.reshape(-1), t_l, BIG).reshape(Q, H)
     n_w = quat.rotate(orn_c, n_l).reshape(Q, H, 3)
 

@@ -71,6 +71,8 @@ class WorldBuilder:
         self.joints: list[dict] = []
         self._polyhedra: list[PolyhedronShape] = []
         self._poly_index: dict[int, int] = {}  # id(shape) -> table idx
+        self._meshes: list[MeshShape] = []
+        self._mesh_index: dict[int, int] = {}
         self.exclusions: list[tuple[int, int]] = []
 
     # -- bodies ---------------------------------------------------------
@@ -83,6 +85,13 @@ class WorldBuilder:
             if key not in self._poly_index:
                 self._poly_index[key] = len(self._polyhedra)
                 self._polyhedra.append(def_.shape)
+        elif isinstance(def_.shape, MeshShape):
+            assert def_.kind == KIND_STATIC, \
+                "trimesh bodies are static-only (reference: mesh_shape)"
+            key = id(def_.shape)
+            if key not in self._mesh_index:
+                self._mesh_index[key] = len(self._meshes)
+                self._meshes.append(def_.shape)
         return idx
 
     def exclude_collision(self, a: int, b: int):
@@ -163,9 +172,15 @@ class WorldBuilder:
                 stype[i] = ShapeType.POLYHEDRON
                 sindex[i] = self._poly_index[id(sh)]
                 sparams[i, 0] = sindex[i]
-            elif isinstance(sh, (CompoundShape, MeshShape)):
+            elif isinstance(sh, MeshShape):
+                from ..shapes.params import PagedMeshShape
+                stype[i] = (ShapeType.PAGED_MESH if isinstance(sh, PagedMeshShape)
+                            else ShapeType.MESH)
+                sindex[i] = self._mesh_index[id(sh)]
+                sparams[i, 0] = sindex[i]
+            elif isinstance(sh, CompoundShape):
                 raise NotImplementedError(
-                    "compound/trimesh packing lands with their kernels")
+                    "compound packing lands with its kernels")
             else:
                 st, prm = sh.pack()
                 stype[i] = st
@@ -203,7 +218,9 @@ class WorldBuilder:
                 slot = np.argmax(excl[x] == -1)
                 excl[x, slot] = y
 
-        ws = WorldState.zeros(N, M, J, poly)
+        from ..shapes.mesh import pack_meshes
+        mesh_table = pack_meshes(self._meshes)
+        ws = WorldState.zeros(N, M, J, poly, mesh_table)
         ws = dataclasses.replace(
             ws,
             pos=jnp.asarray(pos), orn=jnp.asarray(orn),

@@ -185,6 +185,7 @@ class WorldState:
     contacts: ContactTable
     joints: JointTable
     poly: PolyTable
+    mesh: "object"  # MeshTable (shapes.mesh) — static trimesh side tables
     # clock
     step_count: jnp.ndarray   # [] int32
     sim_time: jnp.ndarray     # [] float32
@@ -211,7 +212,9 @@ class WorldState:
         return self.is_dynamic & ~self.asleep
 
     @staticmethod
-    def zeros(N: int, M: int, J: int, poly: PolyTable | None = None) -> "WorldState":
+    def zeros(N: int, M: int, J: int, poly: PolyTable | None = None,
+              mesh=None) -> "WorldState":
+        from ..shapes.mesh import MeshTable
         ident = jnp.zeros((N, 4)).at[:, 3].set(1.0)
         return WorldState(
             pos=jnp.zeros((N, 3)),
@@ -247,6 +250,7 @@ class WorldState:
             contacts=ContactTable.zeros(M),
             joints=JointTable.zeros(J),
             poly=poly if poly is not None else PolyTable.empty(),
+            mesh=mesh if mesh is not None else MeshTable.empty(),
             step_count=jnp.zeros((), jnp.int32),
             sim_time=jnp.zeros(()),
         )

@@ -80,6 +80,24 @@ class ContactRows:
     r2: RowDir
     friction: jnp.ndarray     # [R] mixed coefficient
     restitution: jnp.ndarray  # [R] mixed coefficient
+    # spin & rolling friction (reference: contact_extras_constraint,
+    # src/edyn/constraints/contact_extras_constraint.cpp — pure angular rows
+    # whose impulse is limited by the normal load): mixed coefficients and
+    # precomputed angular response vectors per axis (n, t1, t2)
+    spin_friction: jnp.ndarray  # [R]
+    roll_friction: jnp.ndarray  # [R]
+    sA_n: jnp.ndarray   # [R,3] inv_IA @ n ... angular-only application vecs
+    sB_n: jnp.ndarray
+    sA_t1: jnp.ndarray
+    sB_t1: jnp.ndarray
+    sA_t2: jnp.ndarray
+    sB_t2: jnp.ndarray
+    em_spin: jnp.ndarray   # [R] eff mass of angular row about n
+    em_roll1: jnp.ndarray  # about t1
+    em_roll2: jnp.ndarray  # about t2
+    rhs_spin: jnp.ndarray
+    rhs_roll1: jnp.ndarray
+    rhs_roll2: jnp.ndarray
     # kept for the position solver / diagnostics
     rA: jnp.ndarray
     rB: jnp.ndarray
@@ -180,10 +198,33 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
 
     # default material mixing (reference: dynamics/material_mixing.hpp:13-35)
     friction = jnp.sqrt(jnp.maximum(state.friction[a] * state.friction[b], 0.0))
+    spin_fr = jnp.maximum(state.spin_friction[a], state.spin_friction[b])
+    roll_fr = jnp.maximum(state.roll_friction[a], state.roll_friction[b])
+
+    def ang_row(d):
+        sA = jnp.einsum("...ij,...j->...i", inv_IA, d)
+        sB = jnp.einsum("...ij,...j->...i", inv_IB, -d)
+        term = (vec.dot(sA, d) * degA + vec.dot(sB, -d) * degB)
+        em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
+        return sA, sB, em
+
+    sA_n, sB_n, em_spin = ang_row(n)
+    sA_t1, sB_t1, em_roll1 = ang_row(t1)
+    sA_t2, sB_t2, em_roll2 = ang_row(t2)
+    rel_w = wa - wb
+    rhs_spin = -vec.dot(n, rel_w)
+    rhs_roll1 = -vec.dot(t1, rel_w)
+    rhs_roll2 = -vec.dot(t2, rel_w)
 
     return ContactRows(valid=valid, a=a, b=b, inv_mA=inv_mA, inv_mB=inv_mB,
                        n=n, t1=t1, t2=t2, rn=rn, r1=r1, r2=r2,
-                       friction=friction, restitution=restit_mix, rA=rA, rB=rB)
+                       friction=friction, restitution=restit_mix,
+                       spin_friction=spin_fr, roll_friction=roll_fr,
+                       sA_n=sA_n, sB_n=sB_n, sA_t1=sA_t1, sB_t1=sB_t1,
+                       sA_t2=sA_t2, sB_t2=sB_t2,
+                       em_spin=em_spin, em_roll1=em_roll1, em_roll2=em_roll2,
+                       rhs_spin=rhs_spin, rhs_roll1=rhs_roll1,
+                       rhs_roll2=rhs_roll2, rA=rA, rB=rB)
 
 
 def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
@@ -207,7 +248,11 @@ def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
                                             * (1.0 + restitution)))
     r1 = dataclasses.replace(rows.r1, rhs=-rv(rows.t1, rows.r1))
     r2 = dataclasses.replace(rows.r2, rhs=-rv(rows.t2, rows.r2))
-    return dataclasses.replace(rows, rn=rn, r1=r1, r2=r2)
+    rel_w = wa - wb
+    return dataclasses.replace(rows, rn=rn, r1=r1, r2=r2,
+                               rhs_spin=-vec.dot(rows.n, rel_w),
+                               rhs_roll1=-vec.dot(rows.t1, rel_w),
+                               rhs_roll2=-vec.dot(rows.t2, rel_w))
 
 
 def _apply(rows: ContactRows, d, rd: RowDir, dlam, dv, dw):
@@ -224,18 +269,30 @@ def _delta_relvel(rows: ContactRows, d, rd: RowDir, dv, dw):
             - vec.dot(d, dv[rows.b]) + vec.dot(rd.JaB, dw[rows.b]))
 
 
-def warm_start_contacts(rows: ContactRows, n_imp, f_imp, dv, dw):
+def _apply_ang(rows: ContactRows, sA, sB, dlam, dw):
+    dlam = jnp.where(rows.valid, dlam, 0.0)
+    dw = dw.at[rows.a].add(sA * dlam[:, None])
+    dw = dw.at[rows.b].add(sB * dlam[:, None])
+    return dw
+
+
+def warm_start_contacts(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
     """Apply stored impulses before iterating (reference:
     constraint_row.cpp warm_start)."""
     dv, dw = _apply(rows, rows.n, rows.rn, n_imp, dv, dw)
     dv, dw = _apply(rows, rows.t1, rows.r1, f_imp[:, 0], dv, dw)
     dv, dw = _apply(rows, rows.t2, rows.r2, f_imp[:, 1], dv, dw)
+    dw = _apply_ang(rows, rows.sA_n, rows.sB_n, s_imp, dw)
+    dw = _apply_ang(rows, rows.sA_t1, rows.sB_t1, r_imp[:, 0], dw)
+    dw = _apply_ang(rows, rows.sA_t2, rows.sB_t2, r_imp[:, 1], dw)
     return dv, dw
 
 
-def solve_contacts_once(rows: ContactRows, n_imp, f_imp, dv, dw):
-    """One velocity iteration over all contact rows: normal sub-phase then
-    coupled friction sub-phase."""
+def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
+    """One velocity iteration over all contact rows: normal sub-phase, then
+    coupled friction, then spin/rolling friction angular rows (limits scale
+    with the accumulated normal impulse, reference:
+    constraint_row_spin_friction.cpp / rolling rows)."""
     drel = _delta_relvel(rows, rows.n, rows.rn, dv, dw)
     dlam = (rows.rn.rhs - drel) * rows.rn.eff_mass
     new_imp = jnp.clip(n_imp + dlam, 0.0, BIG)
@@ -257,7 +314,32 @@ def solve_contacts_once(rows: ContactRows, n_imp, f_imp, dv, dw):
     dv, dw = _apply(rows, rows.t1, rows.r1, imp1 - f_imp[:, 0], dv, dw)
     dv, dw = _apply(rows, rows.t2, rows.r2, imp2 - f_imp[:, 1], dv, dw)
     f_imp = jnp.stack([imp1, imp2], axis=-1)
-    return n_imp, f_imp, dv, dw
+
+    # spin friction: single angular row about n, |impulse| <= mu_spin * lam_n
+    max_s = rows.spin_friction * n_imp
+    drel_s = (vec.dot(rows.n, dw[rows.a]) - vec.dot(rows.n, dw[rows.b]))
+    new_s = jnp.clip(s_imp + (rows.rhs_spin - drel_s) * rows.em_spin,
+                     -max_s, max_s)
+    dw = _apply_ang(rows, rows.sA_n, rows.sB_n, new_s - s_imp, dw)
+    s_imp = new_s
+
+    # rolling friction: 2 angular rows about the tangents, joint 2D clamp
+    max_r = rows.roll_friction * n_imp
+    dr1 = (rows.rhs_roll1 - (vec.dot(rows.t1, dw[rows.a])
+                             - vec.dot(rows.t1, dw[rows.b]))) * rows.em_roll1
+    dr2 = (rows.rhs_roll2 - (vec.dot(rows.t2, dw[rows.a])
+                             - vec.dot(rows.t2, dw[rows.b]))) * rows.em_roll2
+    r1n = r_imp[:, 0] + dr1
+    r2n = r_imp[:, 1] + dr2
+    lr = jnp.sqrt(r1n * r1n + r2n * r2n)
+    sc = jnp.where(lr > jnp.maximum(max_r, 1e-12),
+                   max_r / jnp.maximum(lr, 1e-12), 1.0)
+    r1n *= sc
+    r2n *= sc
+    dw = _apply_ang(rows, rows.sA_t1, rows.sB_t1, r1n - r_imp[:, 0], dw)
+    dw = _apply_ang(rows, rows.sA_t2, rows.sB_t2, r2n - r_imp[:, 1], dw)
+    r_imp = jnp.stack([r1n, r2n], axis=-1)
+    return n_imp, f_imp, s_imp, r_imp, dv, dw
 
 
 def solve_restitution(state, rows: ContactRows, num_iterations: int,
@@ -286,18 +368,23 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
         dw = jnp.zeros_like(angvel)
         n_imp = jnp.zeros_like(rhs)
         f_imp = jnp.zeros(rhs.shape + (2,))
+        s_imp = jnp.zeros_like(rhs)
+        r_imp = jnp.zeros(rhs.shape + (2,))
+        zero = jnp.zeros_like(rhs)
         sub = dataclasses.replace(
             rows, valid=active,
             rn=dataclasses.replace(rows.rn, rhs=rhs),
-            r1=dataclasses.replace(rows.r1, rhs=jnp.zeros_like(rhs)),
-            r2=dataclasses.replace(rows.r2, rhs=jnp.zeros_like(rhs)))
+            r1=dataclasses.replace(rows.r1, rhs=zero),
+            r2=dataclasses.replace(rows.r2, rhs=zero),
+            rhs_spin=zero, rhs_roll1=zero, rhs_roll2=zero)
 
         def inner(_, c):
-            n_i, f_i, dv, dw = c
-            return solve_contacts_once(sub, n_i, f_i, dv, dw)
+            n_i, f_i, s_i, r_i, dv, dw = c
+            return solve_contacts_once(sub, n_i, f_i, s_i, r_i, dv, dw)
 
-        n_imp, f_imp, dv, dw = jax.lax.fori_loop(
-            0, num_individual_iterations, inner, (n_imp, f_imp, dv, dw))
+        n_imp, f_imp, s_imp, r_imp, dv, dw = jax.lax.fori_loop(
+            0, num_individual_iterations, inner,
+            (n_imp, f_imp, s_imp, r_imp, dv, dw))
         return linvel + dv, angvel + dw
 
     linvel, angvel = jax.lax.fori_loop(0, num_iterations, outer,

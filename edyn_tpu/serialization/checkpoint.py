@@ -56,20 +56,19 @@ def load_world(path_or_file, template: Optional[WorldState] = None):
 
     if template is None:
         # rebuild via a zero state of matching capacities
-        from ..core.state import ContactTable, JointTable, PolyTable
+        import dataclasses as _dc
+        from ..core.state import PolyTable
+        from ..shapes.mesh import MeshTable
         N = data["pos"].shape[0]
         M = data["contacts/key"].shape[0]
         J = data["joints/jtype"].shape[0]
-        P = data["poly/verts"].shape[0]
-        poly = PolyTable(
-            verts=jax.numpy.asarray(data["poly/verts"]),
-            vert_mask=jax.numpy.asarray(data["poly/vert_mask"]),
-            face_normals=jax.numpy.asarray(data["poly/face_normals"]),
-            face_mask=jax.numpy.asarray(data["poly/face_mask"]),
-            edge_dirs=jax.numpy.asarray(data["poly/edge_dirs"]),
-            edge_mask=jax.numpy.asarray(data["poly/edge_mask"]),
-        ) if P else PolyTable.empty()
-        template = WorldState.zeros(N, M, J, poly)
+        poly = PolyTable(*[jax.numpy.asarray(data[f"poly/{f.name}"])
+                           for f in _dc.fields(PolyTable)]) \
+            if data["poly/verts"].shape[0] else PolyTable.empty()
+        mesh = MeshTable(*[jax.numpy.asarray(data[f"mesh/{f.name}"])
+                           for f in _dc.fields(MeshTable)]) \
+            if data["mesh/tri_verts"].shape[0] else MeshTable.empty()
+        template = WorldState.zeros(N, M, J, poly, mesh)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []

@@ -29,7 +29,7 @@ def _axis_onehot(axis_f):
 
 
 def compute_aabbs(shape_type, shape_params, pos, orn, poly_table=None,
-                  poly_index=None, margin=AABB_MARGIN):
+                  poly_index=None, mesh_table=None, margin=AABB_MARGIN):
     """Returns (aabb_min[N,3], aabb_max[N,3])."""
     R = quat.to_matrix(orn)  # [N,3,3]
     p = shape_params
@@ -81,5 +81,19 @@ def compute_aabbs(shape_type, shape_params, pos, orn, poly_table=None,
         is_poly = (shape_type == ShapeType.POLYHEDRON)[..., None]
         amin = jnp.where(is_poly, pmin, amin)
         amax = jnp.where(is_poly, pmax, amax)
+
+    # MESH / PAGED_MESH: transform the baked object-space bounds
+    if mesh_table is not None and mesh_table.aabb.shape[0] > 0:
+        mi = jnp.clip(poly_index, 0, mesh_table.aabb.shape[0] - 1)
+        mb = mesh_table.aabb[mi]                            # [N,2,3]
+        corners = jnp.stack(
+            [jnp.where(jnp.array([(s >> k) & 1 for k in range(3)], bool),
+                       mb[..., 1, :], mb[..., 0, :]) for s in range(8)],
+            axis=-2)                                        # [N,8,3]
+        w = jnp.einsum("...ij,...cj->...ci", R, corners) + pos[..., None, :]
+        is_mesh = ((shape_type == ShapeType.MESH)
+                   | (shape_type == ShapeType.PAGED_MESH))[..., None]
+        amin = jnp.where(is_mesh, jnp.min(w, axis=-2) - margin, amin)
+        amax = jnp.where(is_mesh, jnp.max(w, axis=-2) + margin, amax)
 
     return amin, amax

@@ -121,9 +121,13 @@ class CompoundShape:
 
 @dataclasses.dataclass
 class MeshShape:
-    """Concave static triangle mesh (reference: triangle_mesh)."""
+    """Concave static triangle mesh (reference: triangle_mesh). Optional
+    per-vertex material scales (reference: per-vertex friction/restitution,
+    Design.md:199-203)."""
     vertices: np.ndarray  # [V,3]
     indices: np.ndarray   # [T,3]
+    vertex_friction: np.ndarray | None = None     # [V] multiplier
+    vertex_restitution: np.ndarray | None = None  # [V] multiplier
 
     def pack(self):
         raise RuntimeError("MeshShape is packed via the builder's mesh table")

@@ -72,7 +72,8 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
 
     # --- AABBs (reference: sys/update_aabbs) ---
     amin, amax = compute_aabbs(state.shape_type, state.shape_params, state.pos,
-                               state.orn, state.poly, state.shape_index)
+                               state.orn, state.poly, state.shape_index,
+                               state.mesh)
     state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax)
 
     # --- broadphase ---
@@ -114,26 +115,32 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     M, P = man.point_valid.shape
     n_imp = man.normal_impulse.reshape(-1)
     f_imp = man.friction_impulse.reshape(-1, 2)
-    dv, dw = solver_mod.warm_start_contacts(rows, n_imp, f_imp, dv, dw)
+    s_imp = man.spin_impulse.reshape(-1)
+    r_imp = man.roll_impulse.reshape(-1, 2)
+    dv, dw = solver_mod.warm_start_contacts(rows, n_imp, f_imp, s_imp, r_imp,
+                                            dv, dw)
     j_imp = state.joints.impulses
     dv, dw = joints_mod.warm_start_joints(jrows, j_imp, dv, dw)
 
     def iteration(_, carry):
-        n_i, f_i, j_i, dv, dw = carry
-        n_i, f_i, dv, dw = solver_mod.solve_contacts_once(rows, n_i, f_i, dv, dw)
+        n_i, f_i, s_i, r_i, j_i, dv, dw = carry
+        n_i, f_i, s_i, r_i, dv, dw = solver_mod.solve_contacts_once(
+            rows, n_i, f_i, s_i, r_i, dv, dw)
         j_i, dv, dw = joints_mod.solve_joints_once(jrows, j_i, dv, dw)
-        return n_i, f_i, j_i, dv, dw
+        return n_i, f_i, s_i, r_i, j_i, dv, dw
 
-    n_imp, f_imp, j_imp, dv, dw = jax.lax.fori_loop(
+    n_imp, f_imp, s_imp, r_imp, j_imp, dv, dw = jax.lax.fori_loop(
         0, settings.num_solver_velocity_iterations, iteration,
-        (n_imp, f_imp, j_imp, dv, dw))
+        (n_imp, f_imp, s_imp, r_imp, j_imp, dv, dw))
 
     # store applied impulses for next-step warm starting (reference:
     # island_solver.cpp assign_applied_impulses)
     man = dataclasses.replace(
         man,
         normal_impulse=n_imp.reshape(M, P),
-        friction_impulse=f_imp.reshape(M, P, 2))
+        friction_impulse=f_imp.reshape(M, P, 2),
+        spin_impulse=s_imp.reshape(M, P),
+        roll_impulse=r_imp.reshape(M, P, 2))
     joints = dataclasses.replace(state.joints, impulses=j_imp)
     state = dataclasses.replace(state, contacts=man, joints=joints)
 

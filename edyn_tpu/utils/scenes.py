@@ -98,7 +98,8 @@ def mixed_pile(n_bodies: int = 10_000, seed: int = 0, bin_half: float = None,
                 ids.append(b.make_rigidbody(et.RigidBodyDef(
                     mass=1.0, shape=shape, position=pos,
                     orientation=_random_quat(rng),
-                    material=et.Material(friction=0.5, restitution=0.2))))
+                    material=et.Material(friction=0.5, restitution=0.2,
+                                         roll_friction=0.005))))
                 i += 1
     return b, ids
 
