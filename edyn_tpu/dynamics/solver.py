@@ -289,46 +289,57 @@ def warm_start_contacts(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
 
 
 def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
-    """One velocity iteration over all contact rows: normal sub-phase, then
-    coupled friction, then spin/rolling friction angular rows (limits scale
-    with the accumulated normal impulse, reference:
-    constraint_row_spin_friction.cpp / rolling rows)."""
-    drel = _delta_relvel(rows, rows.n, rows.rn, dv, dw)
-    dlam = (rows.rn.rhs - drel) * rows.rn.eff_mass
-    new_imp = jnp.clip(n_imp + dlam, 0.0, BIG)
-    dlam = new_imp - n_imp
-    dv, dw = _apply(rows, rows.n, rows.rn, dlam, dv, dw)
-    n_imp = new_imp
+    """One velocity iteration over all contact rows.
 
-    # friction: solve both tangent rows, clamp 2D to mu * normal impulse
-    d1 = (rows.r1.rhs - _delta_relvel(rows, rows.t1, rows.r1, dv, dw)) * rows.r1.eff_mass
-    d2 = (rows.r2.rhs - _delta_relvel(rows, rows.t2, rows.r2, dv, dw)) * rows.r2.eff_mass
+    All six directions of a contact (normal, 2 friction tangents, spin, 2
+    rolling) are solved against the iteration-start deltas and applied as ONE
+    combined impulse per row — a single gather round (dv/dw of both bodies)
+    and a single scatter round per iteration, which is what the TPU wants.
+    The sequencing the reference gets from per-row ordering comes from the
+    outer iterations; friction/spin/roll limits couple to the just-updated
+    normal impulse exactly like the reference's friction solve
+    (constraint_row_friction.cpp:11-55)."""
+    dva = dv[rows.a]
+    dwa = dw[rows.a]
+    dvb = dv[rows.b]
+    dwb = dw[rows.b]
+
+    def drel(d, rd):
+        return (vec.dot(d, dva) + vec.dot(rd.JaA, dwa)
+                - vec.dot(d, dvb) + vec.dot(rd.JaB, dwb))
+
+    # normal
+    dlam = (rows.rn.rhs - drel(rows.n, rows.rn)) * rows.rn.eff_mass
+    new_n = jnp.clip(n_imp + dlam, 0.0, BIG)
+    dn = new_n - n_imp
+
+    # friction circle against the updated normal impulse
+    d1 = (rows.r1.rhs - drel(rows.t1, rows.r1)) * rows.r1.eff_mass
+    d2 = (rows.r2.rhs - drel(rows.t2, rows.r2)) * rows.r2.eff_mass
     imp1 = f_imp[:, 0] + d1
     imp2 = f_imp[:, 1] + d2
-    max_len = rows.friction * n_imp
+    max_len = rows.friction * new_n
     ln = jnp.sqrt(imp1 * imp1 + imp2 * imp2)
     scale = jnp.where(ln > jnp.maximum(max_len, 1e-12),
                       max_len / jnp.maximum(ln, 1e-12), 1.0)
     imp1 *= scale
     imp2 *= scale
-    dv, dw = _apply(rows, rows.t1, rows.r1, imp1 - f_imp[:, 0], dv, dw)
-    dv, dw = _apply(rows, rows.t2, rows.r2, imp2 - f_imp[:, 1], dv, dw)
-    f_imp = jnp.stack([imp1, imp2], axis=-1)
+    df1 = imp1 - f_imp[:, 0]
+    df2 = imp2 - f_imp[:, 1]
 
-    # spin friction: single angular row about n, |impulse| <= mu_spin * lam_n
-    max_s = rows.spin_friction * n_imp
-    drel_s = (vec.dot(rows.n, dw[rows.a]) - vec.dot(rows.n, dw[rows.b]))
-    new_s = jnp.clip(s_imp + (rows.rhs_spin - drel_s) * rows.em_spin,
+    # spin friction: angular row about n, |impulse| <= mu_spin * lam_n
+    rel_s = vec.dot(rows.n, dwa) - vec.dot(rows.n, dwb)
+    max_s = rows.spin_friction * new_n
+    new_s = jnp.clip(s_imp + (rows.rhs_spin - rel_s) * rows.em_spin,
                      -max_s, max_s)
-    dw = _apply_ang(rows, rows.sA_n, rows.sB_n, new_s - s_imp, dw)
-    s_imp = new_s
+    ds = new_s - s_imp
 
     # rolling friction: 2 angular rows about the tangents, joint 2D clamp
-    max_r = rows.roll_friction * n_imp
-    dr1 = (rows.rhs_roll1 - (vec.dot(rows.t1, dw[rows.a])
-                             - vec.dot(rows.t1, dw[rows.b]))) * rows.em_roll1
-    dr2 = (rows.rhs_roll2 - (vec.dot(rows.t2, dw[rows.a])
-                             - vec.dot(rows.t2, dw[rows.b]))) * rows.em_roll2
+    max_r = rows.roll_friction * new_n
+    dr1 = (rows.rhs_roll1 - (vec.dot(rows.t1, dwa) - vec.dot(rows.t1, dwb))) \
+        * rows.em_roll1
+    dr2 = (rows.rhs_roll2 - (vec.dot(rows.t2, dwa) - vec.dot(rows.t2, dwb))) \
+        * rows.em_roll2
     r1n = r_imp[:, 0] + dr1
     r2n = r_imp[:, 1] + dr2
     lr = jnp.sqrt(r1n * r1n + r2n * r2n)
@@ -336,10 +347,30 @@ def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
                    max_r / jnp.maximum(lr, 1e-12), 1.0)
     r1n *= sc
     r2n *= sc
-    dw = _apply_ang(rows, rows.sA_t1, rows.sB_t1, r1n - r_imp[:, 0], dw)
-    dw = _apply_ang(rows, rows.sA_t2, rows.sB_t2, r2n - r_imp[:, 1], dw)
+
+    # combined masked application: one scatter round
+    ok = rows.valid
+    m = lambda x: jnp.where(ok, x, 0.0)[:, None]
+    dn_ = m(dn)
+    df1_ = m(df1)
+    df2_ = m(df2)
+    ds_ = m(ds)
+    dr1_ = m(r1n - r_imp[:, 0])
+    dr2_ = m(r2n - r_imp[:, 1])
+
+    lin = rows.n * dn_ + rows.t1 * df1_ + rows.t2 * df2_
+    dva_c = rows.inv_mA[:, None] * lin
+    dvb_c = rows.inv_mB[:, None] * -lin
+    dwa_c = (rows.rn.tA * dn_ + rows.r1.tA * df1_ + rows.r2.tA * df2_
+             + rows.sA_n * ds_ + rows.sA_t1 * dr1_ + rows.sA_t2 * dr2_)
+    dwb_c = (rows.rn.tB * dn_ + rows.r1.tB * df1_ + rows.r2.tB * df2_
+             + rows.sB_n * ds_ + rows.sB_t1 * dr1_ + rows.sB_t2 * dr2_)
+
+    dv = dv.at[rows.a].add(dva_c).at[rows.b].add(dvb_c)
+    dw = dw.at[rows.a].add(dwa_c).at[rows.b].add(dwb_c)
+    f_imp = jnp.stack([imp1, imp2], axis=-1)
     r_imp = jnp.stack([r1n, r2n], axis=-1)
-    return n_imp, f_imp, s_imp, r_imp, dv, dw
+    return new_n, f_imp, new_s, r_imp, dv, dw
 
 
 def solve_restitution(state, rows: ContactRows, num_iterations: int,

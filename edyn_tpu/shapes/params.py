@@ -177,14 +177,22 @@ class CompoundTable:
 
 
 def _convex_hull(vertices: np.ndarray):
-    """Compute convex hull faces. Uses a native helper when available, else a
-    direct gift-wrapping/incremental fallback via numpy (small meshes)."""
+    """Compute convex hull faces with consistent OUTWARD winding (scipy's
+    simplices come with arbitrary orientation; downstream volume/inertia/
+    normal math requires outward)."""
     try:
         from scipy.spatial import ConvexHull  # pragma: no cover
         hull = ConvexHull(vertices)
-        return hull.simplices
+        faces = np.array(hull.simplices)
     except Exception:
-        return _incremental_hull(vertices)
+        faces = np.array(_incremental_hull(vertices))
+    centroid = np.asarray(vertices, np.float64).mean(axis=0)
+    v = np.asarray(vertices, np.float64)
+    for i, f in enumerate(faces):
+        a, b, c = v[f[0]], v[f[1]], v[f[2]]
+        if np.dot(np.cross(b - a, c - a), a - centroid) < 0:
+            faces[i] = [f[0], f[2], f[1]]
+    return faces
 
 
 def _incremental_hull(pts: np.ndarray):
