@@ -184,21 +184,20 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
             -d_dir, -jnp.cross(rB, d_dir), r_dist)
 
     # --- soft distance: spring (exact impulse) + damper row ---
-    # params: [rest_len, stiffness, damping]
+    # params: [rest_len, stiffness, damping]  (reference:
+    # soft_distance_constraint.cpp — spring row with exact impulse, damper row
+    # whose impulse is capped by the damping rate)
     stiff = jt.params[:, 1]
     damp = jt.params[:, 2]
-    spring_F = stiff * (dist_len - rest_len)
-    spring_imp = spring_F * dt
+    # lambda applies -d to B, so pulling a stretched spring together needs a
+    # negative impulse
+    spring_imp = -stiff * (dist_len - rest_len) * dt
     set_row(0, is_(JointType.SOFT_DISTANCE), d_dir, jnp.cross(rA, d_dir),
             -d_dir, -jnp.cross(rB, d_dir), jnp.zeros(Jn),
-            lo=-jnp.abs(spring_imp), hi=jnp.abs(spring_imp))
-    # steer the spring row to pull toward rest length: rhs drives relvel to
-    # remove stretch over one step
-    rhs = rhs.at[:, 0].set(jnp.where(is_(JointType.SOFT_DISTANCE),
-                                     -(dist_len - rest_len) / dt, rhs[:, 0]))
+            lo=spring_imp, hi=spring_imp)
     damp_imp = damp * dt
     set_row(1, is_(JointType.SOFT_DISTANCE), d_dir, jnp.cross(rA, d_dir),
-            -d_dir, -jnp.cross(rB, d_dir), -relvel_at(d_dir) * 0 - relvel_at(d_dir),
+            -d_dir, -jnp.cross(rB, d_dir), -relvel_at(d_dir),
             lo=-damp_imp, hi=damp_imp)
 
     # --- hinge: 2 angular alignment rows + limits + friction/damping/spring ---
@@ -206,26 +205,32 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     #          bump_stop_len, friction_torque, damping, spring_stiffness,
     #          spring_rest_angle, has_limit]
     hinge = is_(JointType.HINGE)
-    # B's hinge axis must stay aligned with A's: constrain rotation about the
-    # two axes orthogonal to A's hinge axis (reference hinge_constraint.cpp).
+    # Alignment: rotation-error vector err = ax_b x ax_a is the small-angle
+    # rotation that brings B's hinge axis onto A's; each transverse row u
+    # drives dot(u, wa - wb) toward -dot(u, err)*erp/dt (reference:
+    # hinge_constraint.cpp's two off-axis angular rows).
+    err_axis = jnp.cross(ax_b, ax_a)
     for k, u in enumerate((ay_a, az_a)):
-        misalign = vec.dot(u, ax_b)
-        r = -(misalign / dt * ERP + (vec.dot(u, wa) - vec.dot(u, wb)))
+        relw_u = vec.dot(u, wa) - vec.dot(u, wb)
+        r = -(vec.dot(u, err_axis) / dt * ERP + relw_u)
         set_row(3 + k, hinge, zero3, u, zero3, -u, r)
-    # hinge angle about the axis: angle between ay_a and ay_b projected
+    # hinge angle of B relative to A about the axis
     sin_a = vec.dot(jnp.cross(ay_a, ay_b), ax_a)
     cos_a = vec.dot(ay_a, ay_b)
     angle = jnp.arctan2(sin_a, cos_a)
+    relw = vec.dot(ax_a, wa) - vec.dot(ax_a, wb)  # = -d(angle)/dt
     has_limit = jt.params[:, 9] > 0.5
     lim_min = jt.params[:, 0]
     lim_max = jt.params[:, 1]
     below = angle < lim_min
     above = angle > lim_max
-    lim_err = jnp.where(below, angle - lim_min, jnp.where(above, angle - lim_max, 0.0))
-    relw = vec.dot(ax_a, wa) - vec.dot(ax_a, wb)
-    r_lim = -(lim_err / dt * ERP + relw)
-    lo_lim = jnp.where(below, 0.0, -BIG)
-    hi_lim = jnp.where(above, 0.0, BIG)
+    lim_err = jnp.where(below, angle - lim_min,
+                        jnp.where(above, angle - lim_max, 0.0))
+    # target J.v = +lim_err*erp/dt (J.v = -dangle/dt): pushes angle back into
+    # range; one-sided impulse sign per side
+    r_lim = lim_err / dt * ERP - relw
+    lo_lim = jnp.where(below, -BIG, 0.0)
+    hi_lim = jnp.where(below, 0.0, BIG)
     set_row(5, hinge & has_limit & (below | above), zero3, ax_a, zero3, -ax_a,
             r_lim, lo=lo_lim, hi=hi_lim)
     # friction + damping torque about the axis
@@ -234,49 +239,50 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     max_fr = fr_t * dt + jnp.abs(relw) * dampg * dt
     set_row(6, hinge & (max_fr > 0), zero3, ax_a, zero3, -ax_a, -relw,
             lo=-max_fr, hi=max_fr)
-    # torsional spring toward rest angle
+    # torsional spring toward rest angle: exact spring impulse
+    # (lambda applies -ax to B, so +k*(angle-rest)*dt torques B back)
     spring_k = jt.params[:, 7]
     rest_ang = jt.params[:, 8]
-    spr_imp = jnp.abs(spring_k * (angle - rest_ang)) * dt
+    spr_imp = spring_k * (angle - rest_ang) * dt
     set_row(7, hinge & (spring_k > 0), zero3, ax_a, zero3, -ax_a,
-            -( (angle - rest_ang) / dt ), lo=-spr_imp, hi=spr_imp)
+            jnp.zeros(Jn), lo=spr_imp, hi=spr_imp)
 
     # --- cone: keep B's x-axis inside elliptic cone around A's x-axis ---
-    # params: [span_y_tan, span_z_tan]
+    # params: [span_y_tan, span_z_tan] (reference: cone_constraint.cpp)
     cone = is_(JointType.CONE)
-    # direction of B's axis in A's cone frame
-    bx = jnp.stack([vec.dot(ax_b, ax_a), vec.dot(ax_b, ay_a), vec.dot(ax_b, az_a)], -1)
+    bx = jnp.stack([vec.dot(ax_b, ax_a), vec.dot(ax_b, ay_a),
+                    vec.dot(ax_b, az_a)], -1)
     ty = jt.params[:, 0]
     tz = jt.params[:, 1]
-    # violation measure: ellipse test on (y,z)/x
     xpos = jnp.maximum(bx[:, 0], 1e-3)
     ey = bx[:, 1] / (xpos * jnp.maximum(ty, 1e-6))
     ez = bx[:, 2] / (xpos * jnp.maximum(tz, 1e-6))
     viol = ey * ey + ez * ez - 1.0
     violated = cone & (viol > 0)
-    # corrective axis: rotate B axis toward cone axis around u = ax_b x ax_a
-    u_corr = vec.normalize_or(jnp.cross(ax_b, ax_a),
-                              jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), ax_a.shape))
+    # u oriented so that positive impulse (which torques B along -u) rotates
+    # ax_b toward ax_a
+    u_corr = vec.normalize_or(jnp.cross(ax_a, ax_b),
+                              jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]),
+                                               ax_a.shape))
     relw_c = vec.dot(u_corr, wa) - vec.dot(u_corr, wb)
-    r_cone = -(viol / dt * ERP * 0.5 + relw_c)
+    r_cone = viol * 0.5 / dt * ERP - relw_c
     set_row(8, violated, zero3, u_corr, zero3, -u_corr, r_cone, lo=0.0, hi=BIG)
 
-    # --- generic: 3 angular lock rows (full 6-DOF lock by default) ---
+    # --- generic: angular lock rows from the frame rotation-error vector ---
     # params: ang_lock_mask[0:3] (1 = locked)
     gen = is_(JointType.GENERIC)
+    err_frame = 0.5 * (jnp.cross(ax_b, ax_a) + jnp.cross(ay_b, ay_a)
+                       + jnp.cross(az_b, az_a))
     for k, u in enumerate((ax_a, ay_a, az_a)):
         locked = gen & (jt.params[:, k] > 0.5)
-        u_b = (ax_b, ay_b, az_b)[(k + 1) % 3]
-        u_a = (ax_a, ay_a, az_a)[(k + 1) % 3]
-        # misalignment about u: project relative twist
-        mis = vec.dot(jnp.cross(u_a, u_b), u)
-        r = -(mis / dt * ERP + (vec.dot(u, wa) - vec.dot(u, wb)))
+        relw_u = vec.dot(u, wa) - vec.dot(u, wb)
+        r = -(vec.dot(u, err_frame) / dt * ERP + relw_u)
         set_row(3 + k, locked, zero3, u, zero3, -u, r)
 
     # --- cvjoint: twist alignment about the primary axis ---
     cv = is_(JointType.CVJOINT)
-    twist = vec.dot(jnp.cross(ay_a, ay_b), ax_a)
-    r_tw = -(twist / dt * ERP + (vec.dot(ax_a, wa) - vec.dot(ax_a, wb)))
+    twist_err = vec.dot(ax_a, jnp.cross(ay_b, ay_a))
+    r_tw = -(twist_err / dt * ERP + relw)
     set_row(3, cv, zero3, ax_a, zero3, -ax_a, r_tw)
 
     # --- flatten ---
