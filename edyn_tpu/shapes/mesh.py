@@ -113,22 +113,28 @@ def build_grid(tv: np.ndarray, cell_size: float | None = None, cap: int = 64,
         cell_size = max(np.sqrt(area / max(len(tv), 1)) * 2.0, 1e-3)
     gx = max(1, int(np.ceil(extent[axes[0]] / cell_size)) + 1)
     gy = max(1, int(np.ceil(extent[axes[1]] / cell_size)) + 1)
-    cells: dict[tuple, list] = {}
-    for t, tri in enumerate(tv):
-        tlo = tri.min(axis=0) - margin
-        thi = tri.max(axis=0) + margin
-        x0 = int((tlo[axes[0]] - lo[axes[0]]) // cell_size)
-        x1 = int((thi[axes[0]] - lo[axes[0]]) // cell_size)
-        y0 = int((tlo[axes[1]] - lo[axes[1]]) // cell_size)
-        y1 = int((thi[axes[1]] - lo[axes[1]]) // cell_size)
-        for cx in range(max(0, x0), min(gx - 1, x1) + 1):
-            for cy in range(max(0, y0), min(gy - 1, y1) + 1):
-                cells.setdefault((cx, cy), []).append(t)
-    overflow = max((len(v) for v in cells.values()), default=0)
-    grid = np.full((gx, gy, cap), -1, np.int32)
-    for (cx, cy), tris in cells.items():
-        grid[cx, cy, :min(len(tris), cap)] = tris[:cap]
     origin = np.array([lo[axes[0]], lo[axes[1]]])
+
+    from ..native import loader
+    if loader.lib() is not None:
+        grid, overflow = loader.bake_grid(tv, axes[0], axes[1], origin,
+                                          cell_size, margin, gx, gy, cap)
+    else:
+        cells: dict[tuple, list] = {}
+        for t, tri in enumerate(tv):
+            tlo = tri.min(axis=0) - margin
+            thi = tri.max(axis=0) + margin
+            x0 = int((tlo[axes[0]] - lo[axes[0]]) // cell_size)
+            x1 = int((thi[axes[0]] - lo[axes[0]]) // cell_size)
+            y0 = int((tlo[axes[1]] - lo[axes[1]]) // cell_size)
+            y1 = int((thi[axes[1]] - lo[axes[1]]) // cell_size)
+            for cx in range(max(0, x0), min(gx - 1, x1) + 1):
+                for cy in range(max(0, y0), min(gy - 1, y1) + 1):
+                    cells.setdefault((cx, cy), []).append(t)
+        overflow = max((max(len(v) - cap, 0) for v in cells.values()), default=0)
+        grid = np.full((gx, gy, cap), -1, np.int32)
+        for (cx, cy), tris in cells.items():
+            grid[cx, cy, :min(len(tris), cap)] = tris[:cap]
     return grid, origin, float(cell_size), np.array(axes, np.int32), \
         (lo, hi), overflow
 
