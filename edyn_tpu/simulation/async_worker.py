@@ -1,0 +1,108 @@
+"""Asynchronous simulation: a background thread owns the stepping loop.
+
+Reference: execution_mode::asynchronous — stepper_async (main-thread proxy,
+src/edyn/simulation/stepper_async.cpp:25-390) + simulation_worker (dedicated
+thread with its own registry and PID-paced loop,
+src/edyn/simulation/simulation_worker.cpp:62-497), exchanging registry-op
+diffs via the message dispatcher.
+
+TPU reformulation: the worker thread drives the SAME jitted device step (the
+device is the "worker registry"); the main thread reads the latest published
+state snapshot (pytrees are immutable, so publishing is a reference swap — no
+diffing or entity remapping needed) and enqueues mutations (impulses,
+spawns, setting changes) that the worker applies between steps, exactly where
+the reference applies imported registry ops.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Callable, Optional
+
+from ..simulation.stepper import physics_step
+
+
+class AsyncSimulation:
+    def __init__(self, world, pre_step_callback: Optional[Callable] = None,
+                 post_step_callback: Optional[Callable] = None):
+        self.world = world
+        self._published = world.state
+        self._ops: "queue.Queue[Callable]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._paused = False
+        self.pre_step_callback = pre_step_callback
+        self.post_step_callback = post_step_callback
+        self.steps_done = 0
+
+    # -- lifecycle (reference: stepper_async ctor / simulation_worker::start)
+    def start(self):
+        self._running = True
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="edyn-sim-worker")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def set_paused(self, paused: bool):
+        self._paused = paused
+
+    # -- main-thread API ------------------------------------------------
+    @property
+    def state(self):
+        """Latest published state (immutable snapshot)."""
+        with self._lock:
+            return self._published
+
+    def enqueue(self, op: Callable):
+        """op(world) runs on the worker thread between steps (the reference's
+        registry-op import point, simulation_worker.cpp:170-287)."""
+        self._ops.put(op)
+
+    def apply_impulse(self, i, impulse, rel=(0.0, 0.0, 0.0)):
+        self.enqueue(lambda w: w.apply_impulse(i, impulse, rel))
+
+    def set_settings(self, **kw):
+        """reference: refresh_settings re-broadcast to the worker."""
+        self.enqueue(lambda w: w.set_settings(**kw))
+
+    # -- worker loop (reference: simulation_worker::run, PID-paced) -----
+    def _run(self):
+        dt = self.world.settings.fixed_dt
+        next_time = time.perf_counter()
+        while self._running:
+            # apply queued ops
+            while True:
+                try:
+                    op = self._ops.get_nowait()
+                except queue.Empty:
+                    break
+                op(self.world)
+                dt = self.world.settings.fixed_dt
+
+            now = time.perf_counter()
+            if self._paused or now < next_time:
+                time.sleep(min(max(next_time - now, 0.0), dt))
+                continue
+            if self.pre_step_callback:
+                self.pre_step_callback(self.world)
+            self.world.state = physics_step(self.world.state,
+                                            self.world.settings,
+                                            self.world.meta)
+            if self.post_step_callback:
+                self.post_step_callback(self.world)
+            self.steps_done += 1
+            with self._lock:
+                self._published = self.world.state
+            next_time += dt
+            # fell behind (compile hiccup etc.): resync instead of spiraling
+            # (reference: simulation_worker.cpp:384-397 step cap)
+            if now - next_time > 10 * dt:
+                next_time = now

@@ -1,0 +1,136 @@
+"""Observability: per-phase timers and world counters.
+
+Reference: the EDYN_PROFILE_* macro timers writing profile_timers /
+profile_counters ctx structs (util/profile_util.hpp:10-27,
+context/profile.hpp:8-27). Inside a fused jit step there are no per-phase
+timers, so profiling runs the step DECOMPOSED (each phase jitted separately,
+like the reference's sequential mode) — a debug mode, not the hot path — and
+counters are computed from the state on demand.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ProfileTimers:
+    """reference: context/profile.hpp profile_timers."""
+    broadphase: float = 0.0
+    narrowphase: float = 0.0
+    islands: float = 0.0
+    restitution: float = 0.0
+    prepare_constraints: float = 0.0
+    solve: float = 0.0
+    position_correction: float = 0.0
+    step: float = 0.0
+
+
+@dataclasses.dataclass
+class ProfileCounters:
+    """reference: context/profile.hpp profile_counters."""
+    num_bodies: int = 0
+    num_awake: int = 0
+    num_manifolds: int = 0
+    num_contact_points: int = 0
+    num_constraints: int = 0
+    num_islands: int = 0
+
+
+def counters(state) -> ProfileCounters:
+    valid = np.asarray(state.valid)
+    dyn = np.asarray(state.is_dynamic)
+    asleep = np.asarray(state.asleep)
+    man_valid = np.asarray(state.contacts.valid)
+    labels = np.asarray(state.island_id)[dyn & valid]
+    return ProfileCounters(
+        num_bodies=int(valid.sum()),
+        num_awake=int((dyn & ~asleep).sum()),
+        num_manifolds=int(man_valid.sum()),
+        num_contact_points=int(np.asarray(state.contacts.point_valid).sum()),
+        num_constraints=int(np.asarray(state.joints.valid).sum()),
+        num_islands=len(np.unique(labels)) if len(labels) else 0,
+    )
+
+
+def profile_step(world, repeats: int = 3) -> Dict[str, float]:
+    """Run one step decomposed and time each phase (ms). Compiles each phase
+    separately on first call — use for diagnosis, not production stepping."""
+    import dataclasses as dc
+    from ..collision.broadphase import find_pairs
+    from ..collision.manifold import carry_over
+    from ..collision.narrowphase import update_contacts
+    from ..dynamics import islands as im, solver as sm
+    from ..dynamics.position import solve_positions
+    from ..shapes.aabb import compute_aabbs
+
+    st = world.state
+    meta = world.meta
+    S = world.settings
+    out = {}
+
+    def timed(name, fn, *args):
+        res = fn(*args)
+        jax.block_until_ready(res)
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            res = fn(*args)
+        jax.block_until_ready(res)
+        out[name] = (time.perf_counter() - t0) / repeats * 1e3
+        return res
+
+    amin, amax = timed("aabbs", jax.jit(lambda s: compute_aabbs(
+        s.shape_type, s.shape_params, s.pos, s.orn, s.poly, s.shape_index,
+        s.mesh)), st)
+    st = dc.replace(st, aabb_min=amin, aabb_max=amax)
+    keys, pa, pb, pv, _ = timed(
+        "broadphase", lambda s: find_pairs(s, meta.max_pairs,
+                                           meta.broadphase_block), st)
+    man = timed("manifold_carry", jax.jit(carry_over), st.contacts, keys, pa,
+                pb, pv)
+    man = timed("narrowphase", jax.jit(
+        lambda s, m: update_contacts(s, m, S.collision_threshold,
+                                     meta.types_present, meta.bucket_cap)),
+        st, man)
+    st = timed("islands", jax.jit(
+        lambda s, m: im.update_sleep(s, m, S.fixed_dt, S.enable_sleeping,
+                                     meta.island_iters)), st, man)
+    rows = timed("prepare_constraints", jax.jit(
+        lambda s, m: sm.build_contact_rows(
+            s, m, S.fixed_dt, S.num_restitution_iterations > 0,
+            S.mass_splitting)), st, man)
+    if S.num_restitution_iterations > 0:
+        timed("restitution", jax.jit(
+            lambda s, r: sm.solve_restitution(
+                s, r, S.num_restitution_iterations,
+                S.num_individual_restitution_iterations, S.fixed_dt)), st, rows)
+
+    def vel(rows, st):
+        N = st.capacity
+        R = rows.valid.shape[0]
+        carry = (jnp.zeros(R), jnp.zeros((R, 2)), jnp.zeros(R),
+                 jnp.zeros((R, 2)), jnp.zeros((N, 3)), jnp.zeros((N, 3)))
+
+        def it(_, c):
+            return sm.solve_contacts_once(rows, *c)
+        return jax.lax.fori_loop(0, S.num_solver_velocity_iterations, it, carry)
+
+    timed("solve", jax.jit(vel), rows, st)
+    timed("position_correction", jax.jit(
+        lambda s, m: solve_positions(s, m, S.num_solver_position_iterations)),
+        st, man)
+
+    from ..simulation.stepper import physics_step
+    s0 = physics_step(world.state, S, meta)
+    jax.block_until_ready(s0.pos)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        s0 = physics_step(s0, S, meta)
+    jax.block_until_ready(s0.pos)
+    out["full_step"] = (time.perf_counter() - t0) / repeats * 1e3
+    return out
