@@ -48,8 +48,10 @@ def _pair_filters(state, i_idx, j_idx):
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("max_pairs", "block"))
-def find_pairs(state, max_pairs: int, block: int = 256):
+@functools.partial(jax.jit, static_argnames=("max_pairs", "block",
+                                              "should_collide_fn"))
+def find_pairs(state, max_pairs: int, block: int = 256,
+               should_collide_fn=None):
     """Returns (keys[max_pairs] sorted asc, body_a, body_b, valid, dropped).
 
     keys = a * N + b with a < b; INVALID_KEY marks padding. ``dropped`` counts
@@ -69,6 +71,8 @@ def find_pairs(state, max_pairs: int, block: int = 256):
         i_idx = i0 + jnp.arange(block)
         i_c = jnp.minimum(i_idx, N - 1)
         m = _pair_filters(state, i_c, j_idx)
+        if should_collide_fn is not None:
+            m &= should_collide_fn(state, i_c, j_idx)
         m &= i_idx[:, None] < N
         # AABB overlap
         o = jnp.all(amin[i_c][:, None, :] <= amax[None, :, :], axis=-1)

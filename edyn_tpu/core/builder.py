@@ -74,6 +74,7 @@ class WorldBuilder:
         self._meshes: list[MeshShape] = []
         self._mesh_index: dict[int, int] = {}
         self.exclusions: list[tuple[int, int]] = []
+        self.material_mixes: list[tuple[int, int, "Material"]] = []
 
     # -- bodies ---------------------------------------------------------
     def make_rigidbody(self, def_: RigidBodyDef) -> int:
@@ -97,6 +98,11 @@ class WorldBuilder:
     def exclude_collision(self, a: int, b: int):
         """Reference: include/edyn/util/exclude_collision.hpp."""
         self.exclusions.append((a, b))
+
+    def insert_material_mixing(self, id_a: int, id_b: int, material: "Material"):
+        """Override the mixed material for contacts between the two material
+        ids (reference: util/insert_material_mixing.hpp)."""
+        self.material_mixes.append((id_a, id_b, material))
 
     # -- joints (filled in by constraints.joints helpers) ---------------
     def _add_joint(self, **kw) -> int:
@@ -241,4 +247,13 @@ class WorldBuilder:
         if self.joints:
             from ..constraints.joints import pack_joints
             ws = dataclasses.replace(ws, joints=pack_joints(self.joints, J))
+        if self.material_mixes:
+            from .state import MixTable
+            ids = np.array([[ia, ib] for ia, ib, _ in self.material_mixes],
+                           np.int32)
+            vals = np.array([[m.restitution, m.friction, m.spin_friction,
+                              m.roll_friction, m.stiffness, m.damping]
+                             for _, _, m in self.material_mixes], np.float32)
+            ws = dataclasses.replace(ws, mix_table=MixTable(
+                ids=jnp.asarray(ids), vals=jnp.asarray(vals)))
         return ws

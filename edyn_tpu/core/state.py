@@ -114,6 +114,21 @@ class JointTable:
 
 
 @_dc
+class MixTable:
+    """Material-mixing pair override table (reference: material_mix_table,
+    include/edyn/dynamics/material_mixing.hpp:36-81): contacts whose two
+    bodies carry these material ids use the override instead of the default
+    mix functions."""
+    ids: jnp.ndarray   # [P,2] int32 material id pairs (unordered)
+    vals: jnp.ndarray  # [P,6] restitution, friction, spin, roll, stiffness, damping
+
+    @staticmethod
+    def empty() -> "MixTable":
+        return MixTable(ids=jnp.full((0, 2), -1, jnp.int32),
+                        vals=jnp.zeros((0, 6)))
+
+
+@_dc
 class PolyTable:
     """Device-side polyhedron side table (see shapes.params.PolyhedronTable)."""
     verts: jnp.ndarray
@@ -186,6 +201,7 @@ class WorldState:
     joints: JointTable
     poly: PolyTable
     mesh: "object"  # MeshTable (shapes.mesh) — static trimesh side tables
+    mix_table: MixTable
     # clock
     step_count: jnp.ndarray   # [] int32
     sim_time: jnp.ndarray     # [] float32
@@ -251,6 +267,7 @@ class WorldState:
             joints=JointTable.zeros(J),
             poly=poly if poly is not None else PolyTable.empty(),
             mesh=mesh if mesh is not None else MeshTable.empty(),
+            mix_table=MixTable.empty(),
             step_count=jnp.zeros((), jnp.int32),
             sim_time=jnp.zeros(()),
         )

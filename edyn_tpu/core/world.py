@@ -138,12 +138,80 @@ class World:
             sleep_timer=st.sleep_timer.at[i].set(0.0))
         return self
 
+    def step_with_events(self, n: int = 1):
+        """Step and collect contact started/ended pairs (reference: the
+        contact_started/ended EnTT signals, Design.md:135-139)."""
+        from ..collision.events import contact_events
+        prev = self.state
+        self.step(n)
+        return contact_events(prev, self.state)
+
+    def query_aabb(self, lo, hi, include_non_procedural=True):
+        """reference: include/edyn/collision/query_aabb.hpp."""
+        from ..collision.events import query_aabb
+        return query_aabb(self.state, lo, hi, include_non_procedural)
+
+    def set_kind(self, i, kind, mass: float | None = None):
+        """Change rigid body kind (reference: rigidbody_set_kind,
+        src/edyn/util/rigidbody.cpp / test_change_rigidbody_kind.cpp)."""
+        from ..shapes.inertia import moment_of_inertia
+        st = self.state
+        updates = {"kind": st.kind.at[i].set(int(kind)),
+                   "asleep": st.asleep.at[i].set(False),
+                   "sleep_timer": st.sleep_timer.at[i].set(0.0)}
+        if kind == 0:  # dynamic: restore mass properties
+            assert mass is not None and mass > 0, \
+                "becoming dynamic requires a mass"
+            stype = int(st.shape_type[i])
+            params = np.asarray(st.shape_params[i])
+            I = np.diag(moment_of_inertia(stype, params, mass))
+            updates["mass_inv"] = st.mass_inv.at[i].set(1.0 / mass)
+            updates["inertia_inv"] = st.inertia_inv.at[i].set(
+                jnp.asarray(np.linalg.inv(I), jnp.float32))
+            updates["gravity"] = st.gravity.at[i].set(
+                jnp.asarray(self.settings.gravity, jnp.float32))
+        else:
+            updates["mass_inv"] = st.mass_inv.at[i].set(0.0)
+            updates["inertia_inv"] = st.inertia_inv.at[i].set(jnp.zeros((3, 3)))
+            updates["linvel"] = st.linvel.at[i].set(0.0) if kind == 2 else st.linvel
+            updates["gravity"] = st.gravity.at[i].set(0.0)
+        self.state = dataclasses.replace(st, **updates)
+        return self
+
+    def set_shape(self, i, shape):
+        """Swap a body's (simple) shape at runtime (reference:
+        rigidbody_set_shape / test_set_shape.cpp). The body's mass is kept;
+        inertia is recomputed."""
+        from ..shapes.inertia import moment_of_inertia
+        st = self.state
+        stype, params = shape.pack()
+        updates = {
+            "shape_type": st.shape_type.at[i].set(int(stype)),
+            "shape_params": st.shape_params.at[i].set(
+                jnp.asarray(params, jnp.float32)),
+        }
+        minv = float(st.mass_inv[i])
+        if minv > 0:
+            mass = 1.0 / minv
+            I = np.diag(moment_of_inertia(int(stype), params, mass))
+            updates["inertia_inv"] = st.inertia_inv.at[i].set(
+                jnp.asarray(np.linalg.inv(I), jnp.float32))
+        self.state = dataclasses.replace(st, **updates)
+        self.meta = dataclasses.replace(
+            self.meta,
+            types_present=self.meta.types_present | {int(stype)})
+        return self
+
     def spawn(self, def_, poly_index=None) -> int:
         """Create a rigid body in a free slot at runtime (reference:
         make_rigidbody on a live registry)."""
         from .spawn import spawn_rigidbody
         self.state, idx = spawn_rigidbody(self.state, def_,
                                           poly_index=poly_index)
+        stype = int(self.state.shape_type[idx])
+        if stype not in self.meta.types_present:
+            self.meta = dataclasses.replace(
+                self.meta, types_present=self.meta.types_present | {stype})
         return idx
 
     def destroy(self, i):

@@ -201,6 +201,25 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
     spin_fr = jnp.maximum(state.spin_friction[a], state.spin_friction[b])
     roll_fr = jnp.maximum(state.roll_friction[a], state.roll_friction[b])
 
+    # pair-table override (reference: material_mix_table lookup precedes the
+    # default mix functions, src/edyn/util/collision_util.cpp:294-310)
+    mix = state.mix_table
+    if mix.ids.shape[0] > 0:
+        ida = state.material_id[a]
+        idb = state.material_id[b]
+        lo = jnp.minimum(ida, idb)[:, None]
+        hi = jnp.maximum(ida, idb)[:, None]
+        tlo = jnp.minimum(mix.ids[:, 0], mix.ids[:, 1])[None, :]
+        thi = jnp.maximum(mix.ids[:, 0], mix.ids[:, 1])[None, :]
+        match = (lo == tlo) & (hi == thi) & (lo >= 0)           # [R,P]
+        has = jnp.any(match, axis=1)
+        entry = jnp.argmax(match, axis=1)
+        v = mix.vals[entry]
+        restit_mix = jnp.where(has, v[:, 0], restit_mix)
+        friction = jnp.where(has, v[:, 1], friction)
+        spin_fr = jnp.where(has, v[:, 2], spin_fr)
+        roll_fr = jnp.where(has, v[:, 3], roll_fr)
+
     def ang_row(d):
         sA = jnp.einsum("...ij,...j->...i", inv_IA, d)
         sB = jnp.einsum("...ij,...j->...i", inv_IB, -d)

@@ -42,6 +42,11 @@ class SceneMeta:
     bucket_cap: int | None = None
     island_iters: int = 16
     broadphase_block: int = 256
+    # optional custom pair filter fn(state, i_idx, j_idx) -> bool mask,
+    # applied on top of the default filters (reference:
+    # settings.should_collide_func, context/settings.hpp:43). Must be a
+    # jittable pure function; identity-hashed as a static arg.
+    should_collide_fn: object = None
 
 
 def apply_gravity(state, dt: float):
@@ -78,7 +83,7 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
 
     # --- broadphase ---
     keys, pa, pb, pvalid, _dropped = find_pairs(
-        state, meta.max_pairs, meta.broadphase_block)
+        state, meta.max_pairs, meta.broadphase_block, meta.should_collide_fn)
 
     # --- manifold persistence + narrowphase ---
     man = carry_over(state.contacts, keys, pa, pb, pvalid)

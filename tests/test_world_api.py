@@ -1,0 +1,112 @@
+"""World API parity tests (reference: util tests —
+test_change_rigidbody_kind.cpp, test_set_shape.cpp, test_clear_rigidbody.cpp,
+query_aabb, contact events, material mixing table)."""
+import numpy as np
+
+import edyn_tpu as et
+from edyn_tpu.utils.scenes import hello_world
+
+
+def test_change_kind_dynamic_to_static_and_back():
+    b, box = hello_world()
+    w = et.make_world(b)
+    w.step(30)
+    y0 = float(w.position(box)[1])
+    w.set_kind(box, et.KIND_STATIC)
+    w.step(60)
+    assert abs(float(w.position(box)[1]) - y0) < 1e-5, "static body moved"
+    w.set_kind(box, et.KIND_DYNAMIC, mass=10.0)
+    w.step(30)
+    assert float(w.position(box)[1]) < y0 - 0.05, "dynamic body didn't fall"
+
+
+def test_set_shape():
+    b, box = hello_world()
+    w = et.make_world(b)
+    w.step(240)
+    assert abs(w.position(box)[1] - 0.2) < 0.05
+    # swap the 0.2-half box for a 0.4-radius sphere: it must pop up to rest
+    # at the new radius
+    w.set_shape(box, et.SphereShape(0.4))
+    w.wake_up(box)
+    w.step(240)
+    assert abs(w.position(box)[1] - 0.4) < 0.05, w.position(box)
+
+
+def test_destroy_rigidbody():
+    b, box = hello_world()
+    w = et.make_world(b, capacity=8)
+    w.step(60)
+    w.destroy(box)
+    w.step(5)
+    assert int(np.asarray(w.state.contacts.valid).sum()) == 0
+    # slot is reusable
+    new = w.spawn(et.RigidBodyDef(mass=1.0, shape=et.SphereShape(0.2),
+                                  position=(0, 2, 0)))
+    assert new == box
+    w.step(30)
+    assert float(w.position(new)[1]) < 2.0
+
+
+def test_query_aabb():
+    b, box = hello_world()
+    w = et.make_world(b)
+    w.step(1)
+    found = w.query_aabb((-1, 2, -1), (1, 4, 1), include_non_procedural=False)
+    assert found == [box]
+    found = w.query_aabb((10, 10, 10), (11, 11, 11),
+                         include_non_procedural=False)
+    assert found == []
+
+
+def test_contact_events():
+    b, box = hello_world()
+    w = et.make_world(b)
+    started_total = []
+    ended_total = []
+    for _ in range(10):
+        started, ended = w.step_with_events(30)
+        started_total += started
+        ended_total += ended
+    assert (0, box) in started_total, started_total
+
+
+def test_material_mixing_table_override():
+    """Pair-table override beats the default mix (reference:
+    util/insert_material_mixing.hpp)."""
+    b = et.WorldBuilder()
+    b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.PlaneShape((0, 1, 0), 0.0),
+        material=et.Material(friction=0.9, restitution=0.0, id=1)))
+    ball = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 2.0, 0),
+        material=et.Material(friction=0.9, restitution=0.0, id=2),
+        sleeping_disabled=True))
+    # both materials are dead (restitution 0) but the pair override is bouncy
+    b.insert_material_mixing(1, 2, et.Material(restitution=0.9, friction=0.5))
+    w = et.make_world(b)
+    max_y = 0.0
+    hit = False
+    for _ in range(240):
+        w.step()
+        v = float(w.linvel(ball)[1])
+        if v > 0.1:
+            hit = True
+        if hit:
+            max_y = max(max_y, float(w.position(ball)[1]))
+    assert hit and max_y > 0.8, (hit, max_y)
+
+
+def test_custom_should_collide_fn():
+    """reference: settings.should_collide_func override."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    def no_collide(state, i_idx, j_idx):
+        return jnp.zeros((i_idx.shape[0], j_idx.shape[0]), bool)
+
+    b, box = hello_world()
+    w = et.make_world(b)
+    w.meta = dataclasses.replace(w.meta, should_collide_fn=no_collide)
+    w.step(120)
+    assert float(w.position(box)[1]) < -1.0, "custom filter was ignored"
