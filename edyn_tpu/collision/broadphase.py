@@ -3,12 +3,13 @@
 TPU-native replacement for the reference's dynamic-AABB-tree broadphase
 (include/edyn/collision/dynamic_tree.hpp:24-104,
 src/edyn/collision/broadphase.cpp:177-232). Instead of an incrementally
-rebalanced BVH + per-entity tree queries, we evaluate the dense overlap mask in
-row blocks (the AABB table for 10k bodies is ~320 KB — it fits in VMEM whole,
-so an exact O(N^2/2) masked test is bandwidth-trivial on the VPU and has no
-tree-update serialization), then compact to a fixed-capacity pair list with a
-single global sort. The sorted pair keys double as the manifold-persistence
-index (replaces contact_manifold_map).
+rebalanced BVH + per-entity tree queries, the dense upper-triangular overlap
+mask is evaluated in ONE shot (the AABB table for 10k bodies is ~320 KB and
+the [N,N] mask ~100 MB — bandwidth-trivial on the VPU, and one fused op chain
+beats any tree walk's launch overhead) and compacted to a fixed-capacity pair
+list with a single sort. Worlds above DENSE_LIMIT fall back to row blocks.
+The sorted pair keys double as the manifold-persistence index (replaces
+contact_manifold_map).
 
 Filters follow should_collide_default (src/edyn/collision/should_collide.cpp:23-50):
 self, unallocated slots, two non-dynamic bodies, collision group/mask,
@@ -25,10 +26,11 @@ from ..shapes.params import ShapeType
 from ..core.state import KIND_DYNAMIC
 
 INVALID_KEY = jnp.iinfo(jnp.int32).max
+DENSE_LIMIT = 12_000  # N above which the blocked path kicks in
 
 
 def _pair_filters(state, i_idx, j_idx):
-    """Boolean mask of eligible pairs for row indices i (block) vs all j."""
+    """Boolean mask of eligible pairs for row indices i vs columns j."""
     kind = state.kind
     valid = state.valid & (state.shape_type != ShapeType.NONE)
     dyn = kind == KIND_DYNAMIC
@@ -48,51 +50,61 @@ def _pair_filters(state, i_idx, j_idx):
     return m
 
 
+def _overlap(state, i_idx, j_idx):
+    amin, amax = state.aabb_min, state.aabb_max
+    o = jnp.all(amin[i_idx][:, None, :] <= amax[j_idx][None, :, :], axis=-1)
+    o &= jnp.all(amax[i_idx][:, None, :] >= amin[j_idx][None, :, :], axis=-1)
+    return o
+
+
 @functools.partial(jax.jit, static_argnames=("max_pairs", "block",
-                                              "should_collide_fn"))
+                                             "should_collide_fn"))
 def find_pairs(state, max_pairs: int, block: int = 256,
                should_collide_fn=None):
     """Returns (keys[max_pairs] sorted asc, body_a, body_b, valid, dropped).
 
-    keys = a * N + b with a < b; INVALID_KEY marks padding. ``dropped`` counts
-    pairs lost to per-block capacity (should be 0 in practice; sized
-    generously).
-    """
+    keys = a * N + b with a < b; INVALID_KEY marks padding."""
     N = state.capacity
-    amin, amax = state.aabb_min, state.aabb_max
-    n_blocks = -(-N // block)
-    pad = n_blocks * block - N
-    j_idx = jnp.arange(N)
+    idx = jnp.arange(N)
 
-    # per-block candidate capacity: total budget spread with slack
-    kb = min(max(256, (max_pairs // n_blocks) * 4), block * N)
-
-    def do_block(i0):
-        i_idx = i0 + jnp.arange(block)
-        i_c = jnp.minimum(i_idx, N - 1)
-        m = _pair_filters(state, i_c, j_idx)
+    if N <= DENSE_LIMIT:
+        # one-shot dense path: a single fused mask + one compaction
+        m = _pair_filters(state, idx, idx)
         if should_collide_fn is not None:
-            m &= should_collide_fn(state, i_c, j_idx)
-        m &= i_idx[:, None] < N
-        # AABB overlap
-        o = jnp.all(amin[i_c][:, None, :] <= amax[None, :, :], axis=-1)
-        o &= jnp.all(amax[i_c][:, None, :] >= amin[None, :, :], axis=-1)
-        m &= o
+            m &= should_collide_fn(state, idx, idx)
+        m &= _overlap(state, idx, idx)
         flat = m.reshape(-1)
-        count = jnp.sum(flat)
-        (loc,) = jnp.nonzero(flat, size=kb, fill_value=-1)
-        ii = i_c[loc // N]
-        jj = loc % N
-        keys = jnp.where(loc >= 0, ii * N + jj, INVALID_KEY).astype(jnp.int32)
-        return keys, jnp.maximum(count - kb, 0)
+        total = jnp.sum(flat)
+        (loc,) = jnp.nonzero(flat, size=max_pairs, fill_value=-1)
+        keys = jnp.where(loc >= 0, loc, INVALID_KEY).astype(jnp.int32)
+        # nonzero returns ascending locations => keys already sorted
+        dropped = jnp.maximum(total - max_pairs, 0)
+    else:
+        n_blocks = -(-N // block)
+        kb = min(max(256, (max_pairs // n_blocks) * 4), block * N)
 
-    starts = jnp.arange(n_blocks) * block
-    keys_blocks, dropped_blocks = jax.lax.map(do_block, starts)
-    all_keys = keys_blocks.reshape(-1)
-    all_keys = jnp.sort(all_keys)
-    keys = all_keys[:max_pairs]
-    total = jnp.sum(all_keys != INVALID_KEY)
-    dropped = jnp.sum(dropped_blocks) + jnp.maximum(total - max_pairs, 0)
+        def do_block(i0):
+            i_idx = i0 + jnp.arange(block)
+            i_c = jnp.minimum(i_idx, N - 1)
+            m = _pair_filters(state, i_c, idx)
+            if should_collide_fn is not None:
+                m &= should_collide_fn(state, i_c, idx)
+            m &= i_idx[:, None] < N
+            m &= _overlap(state, i_c, idx)
+            flat = m.reshape(-1)
+            count = jnp.sum(flat)
+            (loc,) = jnp.nonzero(flat, size=kb, fill_value=-1)
+            ii = i_c[loc // N]
+            jj = loc % N
+            k = jnp.where(loc >= 0, ii * N + jj, INVALID_KEY).astype(jnp.int32)
+            return k, jnp.maximum(count - kb, 0)
+
+        starts = jnp.arange(n_blocks) * block
+        keys_blocks, dropped_blocks = jax.lax.map(do_block, starts)
+        all_keys = jnp.sort(keys_blocks.reshape(-1))
+        keys = all_keys[:max_pairs]
+        total = jnp.sum(all_keys != INVALID_KEY)
+        dropped = jnp.sum(dropped_blocks) + jnp.maximum(total - max_pairs, 0)
 
     valid = keys != INVALID_KEY
     body_a = jnp.where(valid, keys // N, 0)

@@ -1,124 +1,111 @@
-"""Narrowphase: type-bucketed contact generation over the pair list.
+"""Narrowphase: contact generation over the pair list in FIVE kernel
+invocations.
 
 Replaces the reference's double-dispatch ``visit_shape x visit_shape ->
-collide(shA, shB)`` (src/edyn/util/collision_util.cpp:440-475,
-src/edyn/collision/narrowphase.cpp:21-109). Pairs are partitioned by
-(typeA, typeB) bucket with a static presence check (which shape types exist in
-a world is known at build time, so absent buckets cost nothing at trace time);
-each bucket kernel runs vectorized over its gathered pairs and scatters its
-<=4-point results back into the manifold table, where they are merged with the
-persistent points for warm-start continuity (manifold.merge_points).
+collide(shA, shB)`` over 28 bespoke kernels
+(src/edyn/util/collision_util.cpp:440-475,
+src/edyn/collision/narrowphase.cpp:21-109). Pairs are partitioned into bucket
+CLASSES rather than type pairs — on TPU, each bucket costs a kernel
+invocation and launch overhead dominates, so the whole convex matrix runs
+through the unified support-SAT kernel (shapes/convex.py rationale):
 
-Kernel contract: fn(A: Side, B: Side, threshold) -> ContactResult with A as
-the canonical lower-enum type. Bespoke kernels cover the hot pairs; the
-generic support-SAT kernel (support_sat.py) covers the rest of the convex
-matrix — together they replace the reference's 28 collide() translation units.
+  1. UNIFIED    — any convex vs convex (exact for sphere/capsule/box/poly)
+  2. BOXBOX     — box vs box (bespoke SAT face clipping for stack quality)
+  3. PLANE      — any convex vs plane (unified cloud-vs-halfspace)
+  4. CYLPLANE   — cylinder vs plane (bespoke exact rim kernel)
+  5. MESH       — any convex vs triangle mesh (unified, Voronoi-filtered)
+
+Results scatter into the manifold table and merge with persistent points for
+warm-start continuity (manifold.merge_points).
 """
 from __future__ import annotations
-
-from typing import Callable
 
 import jax.numpy as jnp
 
 from ..math import quat
-from ..shapes.params import NUM_SHAPE_TYPES, ShapeType
-from .kernels import box_box, poly_plane, primitives
+from ..shapes.params import ShapeType
+from .kernels import box_box, primitives
 from .kernels.common import ContactResult
+from .kernels.mesh import collide_convex_mesh
+from .kernels.plane_unified import collide_convex_plane
 from .kernels.support import Side
-from .kernels.support_sat import make_support_kernel
+from .kernels.support_sat import collide_support
 from .manifold import merge_points
 
 S = ShapeType
 
-
-def _adapt(fn: Callable) -> Callable:
-    """Wrap a positional primitive kernel into the Side-based contract."""
-    def wrapped(A: Side, B: Side, threshold):
-        return fn(A.pos, A.orn, A.params, B.pos, B.orn, B.params, threshold)
-    wrapped.__name__ = fn.__name__
-    return wrapped
+# bucket classes
+B_UNIFIED, B_BOXBOX, B_PLANE, B_CYLPLANE, B_MESH = 0, 1, 2, 3, 4
 
 
-KERNELS: dict[tuple[int, int], Callable] = {
-    (S.SPHERE, S.SPHERE): _adapt(primitives.collide_sphere_sphere),
-    (S.SPHERE, S.BOX): _adapt(primitives.collide_sphere_box),
-    (S.SPHERE, S.CAPSULE): _adapt(primitives.collide_sphere_capsule),
-    (S.SPHERE, S.CYLINDER): make_support_kernel(S.SPHERE, S.CYLINDER),
-    (S.SPHERE, S.PLANE): _adapt(primitives.collide_sphere_plane),
-    (S.SPHERE, S.POLYHEDRON): make_support_kernel(S.SPHERE, S.POLYHEDRON),
-    (S.BOX, S.BOX): _adapt(box_box.collide_box_box),
-    (S.BOX, S.CAPSULE): make_support_kernel(S.BOX, S.CAPSULE),
-    (S.BOX, S.CYLINDER): make_support_kernel(S.BOX, S.CYLINDER),
-    (S.BOX, S.PLANE): _adapt(primitives.collide_box_plane),
-    (S.BOX, S.POLYHEDRON): make_support_kernel(S.BOX, S.POLYHEDRON),
-    (S.CAPSULE, S.CAPSULE): _adapt(primitives.collide_capsule_capsule),
-    (S.CAPSULE, S.CYLINDER): make_support_kernel(S.CAPSULE, S.CYLINDER),
-    (S.CAPSULE, S.PLANE): _adapt(primitives.collide_capsule_plane),
-    (S.CAPSULE, S.POLYHEDRON): make_support_kernel(S.CAPSULE, S.POLYHEDRON),
-    (S.CYLINDER, S.CYLINDER): make_support_kernel(S.CYLINDER, S.CYLINDER),
-    (S.CYLINDER, S.PLANE): _adapt(primitives.collide_cylinder_plane),
-    (S.CYLINDER, S.POLYHEDRON): make_support_kernel(S.CYLINDER, S.POLYHEDRON),
-    (S.PLANE, S.POLYHEDRON): None,  # handled swapped: polyhedron is A
-    (S.POLYHEDRON, S.POLYHEDRON): make_support_kernel(S.POLYHEDRON, S.POLYHEDRON),
-}
-# plane buckets run with the plane as body B regardless of enum order
-KERNELS[(S.PLANE, S.POLYHEDRON)] = lambda A, B, t: poly_plane.collide_polyhedron_plane(B, A, t).swapped()
-
-# convex-vs-trimesh buckets (B = mesh body; paged meshes use the same path)
-from .kernels.mesh import make_mesh_kernel  # noqa: E402
-for _t in (S.SPHERE, S.BOX, S.CAPSULE, S.CYLINDER, S.POLYHEDRON):
-    for _m in (S.MESH, S.PAGED_MESH):
-        KERNELS[(_t, _m)] = make_mesh_kernel(int(_t))
+def _is_convex(t):
+    return ((t == S.SPHERE) | (t == S.BOX) | (t == S.CAPSULE)
+            | (t == S.CYLINDER) | (t == S.POLYHEDRON))
 
 
-def bucket_id(ta, tb):
-    """Canonical bucket id with swap flag."""
-    lo = jnp.minimum(ta, tb)
-    hi = jnp.maximum(ta, tb)
-    return lo * NUM_SHAPE_TYPES + hi, ta > tb
+def _is_mesh(t):
+    return (t == S.MESH) | (t == S.PAGED_MESH)
+
+
+def classify(ta, tb):
+    """Returns (bucket_class, swap) — swap puts the convex body first for
+    plane/mesh buckets. Invalid combinations get class -1."""
+    cls = jnp.full(ta.shape, -1, jnp.int32)
+    both_convex = _is_convex(ta) & _is_convex(tb)
+    cls = jnp.where(both_convex, B_UNIFIED, cls)
+    cls = jnp.where((ta == S.BOX) & (tb == S.BOX), B_BOXBOX, cls)
+    plane_b = _is_convex(ta) & (tb == S.PLANE)
+    plane_a = (ta == S.PLANE) & _is_convex(tb)
+    cls = jnp.where(plane_a | plane_b, B_PLANE, cls)
+    cylpl = ((ta == S.CYLINDER) & (tb == S.PLANE)) | \
+        ((ta == S.PLANE) & (tb == S.CYLINDER))
+    cls = jnp.where(cylpl, B_CYLPLANE, cls)
+    mesh_b = _is_convex(ta) & _is_mesh(tb)
+    mesh_a = _is_mesh(ta) & _is_convex(tb)
+    cls = jnp.where(mesh_a | mesh_b, B_MESH, cls)
+    swap = plane_a | mesh_a  # convex must be side A
+    return cls, swap
 
 
 def _gather_side(state, idx) -> Side:
-    """Gather one body of each pair into a Side struct."""
-    poly = state.poly
-    has_poly = poly.verts.shape[0] > 0
-    si = jnp.clip(state.shape_index[idx], 0,
-                  max(poly.verts.shape[0] - 1, 0))
-    if has_poly:
-        verts = poly.verts[si]
-        vmask = poly.vert_mask[si] & (
-            state.shape_type[idx] == S.POLYHEDRON)[:, None]
-        fnorm = poly.face_normals[si]
-        fmask = poly.face_mask[si] & (
-            state.shape_type[idx] == S.POLYHEDRON)[:, None]
-        edirs = poly.edge_dirs[si]
-        emask = poly.edge_mask[si] & (
-            state.shape_type[idx] == S.POLYHEDRON)[:, None]
-    else:
-        K = idx.shape[0]
-        verts = jnp.zeros((K, 1, 3))
-        vmask = jnp.zeros((K, 1), bool)
-        fnorm = jnp.zeros((K, 1, 3))
-        fmask = jnp.zeros((K, 1), bool)
-        edirs = jnp.zeros((K, 1, 3))
-        emask = jnp.zeros((K, 1), bool)
+    cx = state.convex
     return Side(pos=state.pos[idx], orn=state.orn[idx],
                 params=state.shape_params[idx],
-                verts=verts, vert_mask=vmask,
-                face_normals=fnorm, face_mask=fmask,
-                edge_dirs=edirs, edge_mask=emask)
+                verts=cx.verts[idx], vert_mask=cx.vert_mask[idx],
+                radius=cx.radius[idx],
+                face_normals=cx.face_normals[idx],
+                face_mask=cx.face_mask[idx],
+                edge_dirs=cx.edge_dirs[idx], edge_mask=cx.edge_mask[idx])
+
+
+def _classes_present(types_present: frozenset):
+    """Static: which bucket classes can occur given the shape types."""
+    conv = [t for t in types_present if t in
+            (S.SPHERE, S.BOX, S.CAPSULE, S.CYLINDER, S.POLYHEDRON)]
+    out = []
+    if len(conv) >= 1:
+        out.append(B_UNIFIED)
+    if S.BOX in types_present:
+        out.append(B_BOXBOX)
+    if S.PLANE in types_present and conv:
+        out.append(B_PLANE)
+        if S.CYLINDER in types_present:
+            out.append(B_CYLPLANE)
+    if (S.MESH in types_present or S.PAGED_MESH in types_present) and conv:
+        out.append(B_MESH)
+    return out
 
 
 def update_contacts(state, man, threshold: float, types_present: frozenset,
                     bucket_cap: int | None = None):
-    """Run all applicable bucket kernels over the manifold pair list and merge
-    fresh points into ``man`` (the carried-over manifold table)."""
+    """Run the applicable bucket-class kernels over the manifold pair list and
+    merge fresh points into ``man`` (the carried-over manifold table)."""
     M = man.key.shape[0]
     cap = bucket_cap or M
     ta = state.shape_type[man.body_a]
     tb = state.shape_type[man.body_b]
-    bid, swap = bucket_id(ta, tb)
-    bid = jnp.where(man.valid, bid, -1)
+    cls, swap = classify(ta, tb)
+    cls = jnp.where(man.valid, cls, -1)
 
     new_pivot_a = jnp.zeros((M, 4, 3))
     new_pivot_b = jnp.zeros((M, 4, 3))
@@ -127,25 +114,38 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     new_dist = jnp.zeros((M, 4))
     new_valid = jnp.zeros((M, 4), bool)
 
-    for (lo, hi), kernel in KERNELS.items():
-        if int(lo) not in types_present or int(hi) not in types_present:
-            continue
-        want = int(lo) * NUM_SHAPE_TYPES + int(hi)
-        (sel,) = jnp.nonzero(bid == want, size=cap, fill_value=M)
+    present = _classes_present(types_present)
+
+    for bucket in present:
+        want = cls == bucket
+        this_cap = cap if bucket in (B_UNIFIED, B_PLANE, B_BOXBOX) else \
+            max(256, cap // 4)
+        (sel,) = jnp.nonzero(want, size=this_cap, fill_value=M)
         sel_ok = sel < M
         sel_c = jnp.minimum(sel, M - 1)
         a = man.body_a[sel_c]
         b = man.body_b[sel_c]
         sw = swap[sel_c]
-        ka = jnp.where(sw, b, a)   # kernel body A = canonical lower type
+        ka = jnp.where(sw, b, a)
         kb = jnp.where(sw, a, b)
-        if getattr(kernel, "needs_mesh", False):
-            res: ContactResult = kernel(
-                _gather_side(state, ka), _gather_side(state, kb), threshold,
-                mesh_table=state.mesh, mesh_index=state.shape_index[kb])
-        else:
-            res = kernel(_gather_side(state, ka), _gather_side(state, kb),
-                         threshold)
+        A = _gather_side(state, ka)
+        B = _gather_side(state, kb)
+
+        if bucket == B_UNIFIED:
+            res: ContactResult = collide_support(A, B, threshold)
+        elif bucket == B_BOXBOX:
+            res = box_box.collide_box_box(A.pos, A.orn, A.params,
+                                          B.pos, B.orn, B.params, threshold)
+        elif bucket == B_PLANE:
+            res = collide_convex_plane(A, B, threshold)
+        elif bucket == B_CYLPLANE:
+            res = primitives.collide_cylinder_plane(
+                A.pos, A.orn, A.params, B.pos, B.orn, B.params, threshold)
+        else:  # B_MESH
+            res = collide_convex_mesh(A, B, threshold,
+                                      mesh_table=state.mesh,
+                                      mesh_index=state.shape_index[kb])
+
         res_sw = res.swapped()
         pv = jnp.where(sw[:, None], res_sw.point_valid, res.point_valid) & sel_ok[:, None]
         pa = jnp.where(sw[:, None, None], res_sw.pivot_a, res.pivot_a)

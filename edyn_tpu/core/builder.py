@@ -225,8 +225,10 @@ class WorldBuilder:
                 excl[x, slot] = y
 
         from ..shapes.mesh import pack_meshes
+        from ..shapes.convex import build_convex_table
         mesh_table = pack_meshes(self._meshes)
-        ws = WorldState.zeros(N, M, J, poly, mesh_table)
+        convex = build_convex_table(stype, sparams, sindex, poly_np)
+        ws = WorldState.zeros(N, M, J, poly, mesh_table, convex)
         ws = dataclasses.replace(
             ws,
             pos=jnp.asarray(pos), orn=jnp.asarray(orn),

@@ -102,7 +102,54 @@ def spawn_rigidbody(state: WorldState, d: RigidBodyDef, slot: int | None = None,
         asleep=set_("asleep", False),
         sleep_timer=set_("sleep_timer", 0.0),
     )
+    if stype == ShapeType.POLYHEDRON:
+        p = state.poly
+        pi = int(sindex)
+        vm_ = np.asarray(p.vert_mask[pi])
+        data = (np.asarray(p.verts[pi])[vm_], 0.0,
+                np.asarray(p.face_normals[pi])[np.asarray(p.face_mask[pi])],
+                np.asarray(p.edge_dirs[pi])[np.asarray(p.edge_mask[pi])])
+    else:
+        data = None
+    st = dataclasses.replace(st, convex=update_convex_row(
+        st.convex, i, int(stype), sparams, data))
     return st, i
+
+
+def update_convex_row(cx, i: int, stype: int, sparams, data=None):
+    """Write one body's unified convex data into the (fixed-width) table.
+    The spawned shape must fit the world's padded vert/face/edge widths."""
+    from ..shapes.convex import shape_convex_data
+    v, r, f, e = data if data is not None else shape_convex_data(stype, sparams)
+    V = cx.verts.shape[1]
+    F = cx.face_normals.shape[1]
+    E = cx.edge_dirs.shape[1]
+    assert len(v) <= V and len(f) <= F and len(e) <= E, \
+        "spawned shape exceeds the world's convex table widths — " \
+        "build the world with at least one shape of this complexity"
+    pad_v = np.zeros((V, 3), np.float32)
+    pad_v[:len(v)] = v
+    if len(v):
+        pad_v[len(v):] = v[0]
+    vm = np.zeros((V,), bool)
+    vm[:len(v)] = True
+    pad_f = np.zeros((F, 3), np.float32)
+    pad_f[:len(f)] = f
+    fm = np.zeros((F,), bool)
+    fm[:len(f)] = True
+    pad_e = np.zeros((E, 3), np.float32)
+    pad_e[:len(e)] = e
+    em = np.zeros((E,), bool)
+    em[:len(e)] = True
+    return dataclasses.replace(
+        cx,
+        verts=cx.verts.at[i].set(jnp.asarray(pad_v)),
+        vert_mask=cx.vert_mask.at[i].set(jnp.asarray(vm)),
+        radius=cx.radius.at[i].set(float(r)),
+        face_normals=cx.face_normals.at[i].set(jnp.asarray(pad_f)),
+        face_mask=cx.face_mask.at[i].set(jnp.asarray(fm)),
+        edge_dirs=cx.edge_dirs.at[i].set(jnp.asarray(pad_e)),
+        edge_mask=cx.edge_mask.at[i].set(jnp.asarray(em)))
 
 
 def destroy_rigidbody(state: WorldState, i: int) -> WorldState:

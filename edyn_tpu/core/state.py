@@ -201,6 +201,7 @@ class WorldState:
     joints: JointTable
     poly: PolyTable
     mesh: "object"  # MeshTable (shapes.mesh) — static trimesh side tables
+    convex: "object"  # ConvexTable (shapes.convex) — unified per-body cloud
     mix_table: MixTable
     # clock
     step_count: jnp.ndarray   # [] int32
@@ -229,8 +230,9 @@ class WorldState:
 
     @staticmethod
     def zeros(N: int, M: int, J: int, poly: PolyTable | None = None,
-              mesh=None) -> "WorldState":
+              mesh=None, convex=None) -> "WorldState":
         from ..shapes.mesh import MeshTable
+        from ..shapes.convex import ConvexTable
         ident = jnp.zeros((N, 4)).at[:, 3].set(1.0)
         return WorldState(
             pos=jnp.zeros((N, 3)),
@@ -267,6 +269,7 @@ class WorldState:
             joints=JointTable.zeros(J),
             poly=poly if poly is not None else PolyTable.empty(),
             mesh=mesh if mesh is not None else MeshTable.empty(),
+            convex=convex if convex is not None else ConvexTable.empty(N),
             mix_table=MixTable.empty(),
             step_count=jnp.zeros((), jnp.int32),
             sim_time=jnp.zeros(()),

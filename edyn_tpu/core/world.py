@@ -32,6 +32,10 @@ def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
         max_pairs = max(256, min(16 * n, 1 << 18))
     max_pairs = min(max_pairs, state.contacts.key.shape[0])
     kw.setdefault("bucket_cap", max(512, max_pairs // 4))
+    has_sr = bool((np.asarray(state.spin_friction)[valid] > 0).any()
+                  or (np.asarray(state.roll_friction)[valid] > 0).any()
+                  or (np.asarray(state.mix_table.vals)[:, 2:4] > 0).any())
+    kw.setdefault("has_spin_roll", has_sr)
     return SceneMeta(types_present=present, max_pairs=max_pairs, **kw)
 
 
@@ -196,6 +200,8 @@ class World:
             I = np.diag(moment_of_inertia(int(stype), params, mass))
             updates["inertia_inv"] = st.inertia_inv.at[i].set(
                 jnp.asarray(np.linalg.inv(I), jnp.float32))
+        from .spawn import update_convex_row
+        updates["convex"] = update_convex_row(st.convex, i, int(stype), params)
         self.state = dataclasses.replace(st, **updates)
         self.meta = dataclasses.replace(
             self.meta,
@@ -212,6 +218,10 @@ class World:
         if stype not in self.meta.types_present:
             self.meta = dataclasses.replace(
                 self.meta, types_present=self.meta.types_present | {stype})
+        m = def_.material
+        if m is not None and (m.spin_friction > 0 or m.roll_friction > 0) \
+                and not self.meta.has_spin_roll:
+            self.meta = dataclasses.replace(self.meta, has_spin_roll=True)
         return idx
 
     def destroy(self, i):

@@ -133,7 +133,8 @@ def _make_dir(d, rA, rB, inv_mA, inv_IA, inv_mB, inv_IB, degA, degB):
 
 
 def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
-                       mass_splitting: bool = True) -> ContactRows:
+                       mass_splitting: bool = True,
+                       with_spin_roll: bool = True) -> ContactRows:
     M, P = man.point_valid.shape
     R = M * P
     flat = lambda x: x.reshape((R,) + x.shape[2:])
@@ -220,20 +221,26 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
         spin_fr = jnp.where(has, v[:, 2], spin_fr)
         roll_fr = jnp.where(has, v[:, 3], roll_fr)
 
-    def ang_row(d):
-        sA = jnp.einsum("...ij,...j->...i", inv_IA, d)
-        sB = jnp.einsum("...ij,...j->...i", inv_IB, -d)
-        term = (vec.dot(sA, d) * degA + vec.dot(sB, -d) * degB)
-        em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
-        return sA, sB, em
+    if with_spin_roll:
+        def ang_row(d):
+            sA = jnp.einsum("...ij,...j->...i", inv_IA, d)
+            sB = jnp.einsum("...ij,...j->...i", inv_IB, -d)
+            term = (vec.dot(sA, d) * degA + vec.dot(sB, -d) * degB)
+            em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
+            return sA, sB, em
 
-    sA_n, sB_n, em_spin = ang_row(n)
-    sA_t1, sB_t1, em_roll1 = ang_row(t1)
-    sA_t2, sB_t2, em_roll2 = ang_row(t2)
-    rel_w = wa - wb
-    rhs_spin = -vec.dot(n, rel_w)
-    rhs_roll1 = -vec.dot(t1, rel_w)
-    rhs_roll2 = -vec.dot(t2, rel_w)
+        sA_n, sB_n, em_spin = ang_row(n)
+        sA_t1, sB_t1, em_roll1 = ang_row(t1)
+        sA_t2, sB_t2, em_roll2 = ang_row(t2)
+        rel_w = wa - wb
+        rhs_spin = -vec.dot(n, rel_w)
+        rhs_roll1 = -vec.dot(t1, rel_w)
+        rhs_roll2 = -vec.dot(t2, rel_w)
+    else:
+        # scene has no spin/roll materials (static fact) — skip the work
+        sA_n = sB_n = sA_t1 = sB_t1 = sA_t2 = sB_t2 = None
+        em_spin = em_roll1 = em_roll2 = None
+        rhs_spin = rhs_roll1 = rhs_roll2 = None
 
     return ContactRows(valid=valid, a=a, b=b, inv_mA=inv_mA, inv_mB=inv_mB,
                        n=n, t1=t1, t2=t2, rn=rn, r1=r1, r2=r2,
@@ -267,6 +274,8 @@ def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
                                             * (1.0 + restitution)))
     r1 = dataclasses.replace(rows.r1, rhs=-rv(rows.t1, rows.r1))
     r2 = dataclasses.replace(rows.r2, rhs=-rv(rows.t2, rows.r2))
+    if rows.sA_n is None:
+        return dataclasses.replace(rows, rn=rn, r1=r1, r2=r2)
     rel_w = wa - wb
     return dataclasses.replace(rows, rn=rn, r1=r1, r2=r2,
                                rhs_spin=-vec.dot(rows.n, rel_w),
@@ -301,9 +310,10 @@ def warm_start_contacts(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
     dv, dw = _apply(rows, rows.n, rows.rn, n_imp, dv, dw)
     dv, dw = _apply(rows, rows.t1, rows.r1, f_imp[:, 0], dv, dw)
     dv, dw = _apply(rows, rows.t2, rows.r2, f_imp[:, 1], dv, dw)
-    dw = _apply_ang(rows, rows.sA_n, rows.sB_n, s_imp, dw)
-    dw = _apply_ang(rows, rows.sA_t1, rows.sB_t1, r_imp[:, 0], dw)
-    dw = _apply_ang(rows, rows.sA_t2, rows.sB_t2, r_imp[:, 1], dw)
+    if rows.sA_n is not None:
+        dw = _apply_ang(rows, rows.sA_n, rows.sB_n, s_imp, dw)
+        dw = _apply_ang(rows, rows.sA_t1, rows.sB_t1, r_imp[:, 0], dw)
+        dw = _apply_ang(rows, rows.sA_t2, rows.sB_t2, r_imp[:, 1], dw)
     return dv, dw
 
 
@@ -346,50 +356,54 @@ def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
     df1 = imp1 - f_imp[:, 0]
     df2 = imp2 - f_imp[:, 1]
 
-    # spin friction: angular row about n, |impulse| <= mu_spin * lam_n
-    rel_s = vec.dot(rows.n, dwa) - vec.dot(rows.n, dwb)
-    max_s = rows.spin_friction * new_n
-    new_s = jnp.clip(s_imp + (rows.rhs_spin - rel_s) * rows.em_spin,
-                     -max_s, max_s)
-    ds = new_s - s_imp
-
-    # rolling friction: 2 angular rows about the tangents, joint 2D clamp
-    max_r = rows.roll_friction * new_n
-    dr1 = (rows.rhs_roll1 - (vec.dot(rows.t1, dwa) - vec.dot(rows.t1, dwb))) \
-        * rows.em_roll1
-    dr2 = (rows.rhs_roll2 - (vec.dot(rows.t2, dwa) - vec.dot(rows.t2, dwb))) \
-        * rows.em_roll2
-    r1n = r_imp[:, 0] + dr1
-    r2n = r_imp[:, 1] + dr2
-    lr = jnp.sqrt(r1n * r1n + r2n * r2n)
-    sc = jnp.where(lr > jnp.maximum(max_r, 1e-12),
-                   max_r / jnp.maximum(lr, 1e-12), 1.0)
-    r1n *= sc
-    r2n *= sc
-
-    # combined masked application: one scatter round
     ok = rows.valid
     m = lambda x: jnp.where(ok, x, 0.0)[:, None]
     dn_ = m(dn)
     df1_ = m(df1)
     df2_ = m(df2)
-    ds_ = m(ds)
-    dr1_ = m(r1n - r_imp[:, 0])
-    dr2_ = m(r2n - r_imp[:, 1])
 
     lin = rows.n * dn_ + rows.t1 * df1_ + rows.t2 * df2_
     dva_c = rows.inv_mA[:, None] * lin
     dvb_c = rows.inv_mB[:, None] * -lin
-    dwa_c = (rows.rn.tA * dn_ + rows.r1.tA * df1_ + rows.r2.tA * df2_
-             + rows.sA_n * ds_ + rows.sA_t1 * dr1_ + rows.sA_t2 * dr2_)
-    dwb_c = (rows.rn.tB * dn_ + rows.r1.tB * df1_ + rows.r2.tB * df2_
-             + rows.sB_n * ds_ + rows.sB_t1 * dr1_ + rows.sB_t2 * dr2_)
+    dwa_c = rows.rn.tA * dn_ + rows.r1.tA * df1_ + rows.r2.tA * df2_
+    dwb_c = rows.rn.tB * dn_ + rows.r1.tB * df1_ + rows.r2.tB * df2_
+
+    if rows.sA_n is not None:
+        # spin friction: angular row about n, |impulse| <= mu_spin * lam_n
+        rel_s = vec.dot(rows.n, dwa) - vec.dot(rows.n, dwb)
+        max_s = rows.spin_friction * new_n
+        new_s = jnp.clip(s_imp + (rows.rhs_spin - rel_s) * rows.em_spin,
+                         -max_s, max_s)
+        ds = new_s - s_imp
+
+        # rolling friction: 2 angular rows about the tangents, joint 2D clamp
+        max_r = rows.roll_friction * new_n
+        dr1 = (rows.rhs_roll1 - (vec.dot(rows.t1, dwa)
+                                 - vec.dot(rows.t1, dwb))) * rows.em_roll1
+        dr2 = (rows.rhs_roll2 - (vec.dot(rows.t2, dwa)
+                                 - vec.dot(rows.t2, dwb))) * rows.em_roll2
+        r1n = r_imp[:, 0] + dr1
+        r2n = r_imp[:, 1] + dr2
+        lr = jnp.sqrt(r1n * r1n + r2n * r2n)
+        sc = jnp.where(lr > jnp.maximum(max_r, 1e-12),
+                       max_r / jnp.maximum(lr, 1e-12), 1.0)
+        r1n *= sc
+        r2n *= sc
+        ds_ = m(ds)
+        dr1_ = m(r1n - r_imp[:, 0])
+        dr2_ = m(r2n - r_imp[:, 1])
+        dwa_c = dwa_c + rows.sA_n * ds_ + rows.sA_t1 * dr1_ + rows.sA_t2 * dr2_
+        dwb_c = dwb_c + rows.sB_n * ds_ + rows.sB_t1 * dr1_ + rows.sB_t2 * dr2_
+        s_out = new_s
+        r_out = jnp.stack([r1n, r2n], axis=-1)
+    else:
+        s_out = s_imp
+        r_out = r_imp
 
     dv = dv.at[rows.a].add(dva_c).at[rows.b].add(dvb_c)
     dw = dw.at[rows.a].add(dwa_c).at[rows.b].add(dwb_c)
     f_imp = jnp.stack([imp1, imp2], axis=-1)
-    r_imp = jnp.stack([r1n, r2n], axis=-1)
-    return new_n, f_imp, new_s, r_imp, dv, dw
+    return new_n, f_imp, s_out, r_out, dv, dw
 
 
 def solve_restitution(state, rows: ContactRows, num_iterations: int,
@@ -403,14 +417,26 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
     play the role of BFS levels — each outer pass solves restitution rows of
     all approaching contacts against the *current* velocities and applies the
     results immediately, so impact waves advance one contact layer per pass.
-    Impulses live in separate accumulators and never feed warm starting
-    (reference keeps normal_restitution_impulse separate)."""
+    Like the reference, the pass EARLY-EXITS (lax.while_loop) once no contact
+    approaches faster than the threshold — settled scenes pay for one cheap
+    check only. Only normal + friction rows are solved (matching the
+    reference's restitution pass); impulses never feed warm starting."""
     relvel_threshold = -0.005  # reference restitution_solver.cpp
 
-    def outer(_, carry):
-        linvel, angvel = carry
-        relvel = (vec.dot(rows.n, linvel[rows.a]) + vec.dot(rows.rn.JaA, angvel[rows.a])
-                  - vec.dot(rows.n, linvel[rows.b]) + vec.dot(rows.rn.JaB, angvel[rows.b]))
+    def relvels(linvel, angvel):
+        return (vec.dot(rows.n, linvel[rows.a]) + vec.dot(rows.rn.JaA, angvel[rows.a])
+                - vec.dot(rows.n, linvel[rows.b]) + vec.dot(rows.rn.JaB, angvel[rows.b]))
+
+    def cond(carry):
+        it, linvel, angvel = carry
+        relvel = relvels(linvel, angvel)
+        active = rows.valid & (rows.restitution > 0)
+        any_approaching = jnp.any(active & (relvel < relvel_threshold))
+        return (it < num_iterations) & any_approaching
+
+    def body(carry):
+        it, linvel, angvel = carry
+        relvel = relvels(linvel, angvel)
         active = rows.valid & (relvel < relvel_threshold) & (rows.restitution > 0)
         rhs = -relvel * (1.0 + rows.restitution)
 
@@ -418,25 +444,48 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
         dw = jnp.zeros_like(angvel)
         n_imp = jnp.zeros_like(rhs)
         f_imp = jnp.zeros(rhs.shape + (2,))
-        s_imp = jnp.zeros_like(rhs)
-        r_imp = jnp.zeros(rhs.shape + (2,))
-        zero = jnp.zeros_like(rhs)
-        sub = dataclasses.replace(
-            rows, valid=active,
-            rn=dataclasses.replace(rows.rn, rhs=rhs),
-            r1=dataclasses.replace(rows.r1, rhs=zero),
-            r2=dataclasses.replace(rows.r2, rhs=zero),
-            rhs_spin=zero, rhs_roll1=zero, rhs_roll2=zero)
 
         def inner(_, c):
-            n_i, f_i, s_i, r_i, dv, dw = c
-            return solve_contacts_once(sub, n_i, f_i, s_i, r_i, dv, dw)
+            n_i, f_i, dv, dw = c
+            dva = dv[rows.a]
+            dwa = dw[rows.a]
+            dvb = dv[rows.b]
+            dwb = dw[rows.b]
 
-        n_imp, f_imp, s_imp, r_imp, dv, dw = jax.lax.fori_loop(
-            0, num_individual_iterations, inner,
-            (n_imp, f_imp, s_imp, r_imp, dv, dw))
-        return linvel + dv, angvel + dw
+            def drel(d, rd):
+                return (vec.dot(d, dva) + vec.dot(rd.JaA, dwa)
+                        - vec.dot(d, dvb) + vec.dot(rd.JaB, dwb))
 
-    linvel, angvel = jax.lax.fori_loop(0, num_iterations, outer,
-                                       (state.linvel, state.angvel))
+            dlam = (rhs - drel(rows.n, rows.rn)) * rows.rn.eff_mass
+            new_n = jnp.clip(n_i + dlam, 0.0, BIG)
+            dn = new_n - n_i
+            d1 = -drel(rows.t1, rows.r1) * rows.r1.eff_mass
+            d2 = -drel(rows.t2, rows.r2) * rows.r2.eff_mass
+            imp1 = f_i[:, 0] + d1
+            imp2 = f_i[:, 1] + d2
+            max_len = rows.friction * new_n
+            ln = jnp.sqrt(imp1 * imp1 + imp2 * imp2)
+            sc = jnp.where(ln > jnp.maximum(max_len, 1e-12),
+                           max_len / jnp.maximum(ln, 1e-12), 1.0)
+            imp1 *= sc
+            imp2 *= sc
+            mm = lambda x: jnp.where(active, x, 0.0)[:, None]
+            dn_ = mm(dn)
+            df1_ = mm(imp1 - f_i[:, 0])
+            df2_ = mm(imp2 - f_i[:, 1])
+            lin = rows.n * dn_ + rows.t1 * df1_ + rows.t2 * df2_
+            dv = dv.at[rows.a].add(rows.inv_mA[:, None] * lin)
+            dv = dv.at[rows.b].add(rows.inv_mB[:, None] * -lin)
+            dw = dw.at[rows.a].add(rows.rn.tA * dn_ + rows.r1.tA * df1_
+                                   + rows.r2.tA * df2_)
+            dw = dw.at[rows.b].add(rows.rn.tB * dn_ + rows.r1.tB * df1_
+                                   + rows.r2.tB * df2_)
+            return new_n, jnp.stack([imp1, imp2], -1), dv, dw
+
+        n_imp, f_imp, dv, dw = jax.lax.fori_loop(
+            0, num_individual_iterations, inner, (n_imp, f_imp, dv, dw))
+        return it + 1, linvel + dv, angvel + dw
+
+    _, linvel, angvel = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state.linvel, state.angvel))
     return linvel, angvel

@@ -68,7 +68,10 @@ def load_world(path_or_file, template: Optional[WorldState] = None):
         mesh = MeshTable(*[jax.numpy.asarray(data[f"mesh/{f.name}"])
                            for f in _dc.fields(MeshTable)]) \
             if data["mesh/tri_verts"].shape[0] else MeshTable.empty()
-        template = WorldState.zeros(N, M, J, poly, mesh)
+        from ..shapes.convex import ConvexTable
+        convex = ConvexTable(*[jax.numpy.asarray(data[f"convex/{f.name}"])
+                               for f in _dc.fields(ConvexTable)])
+        template = WorldState.zeros(N, M, J, poly, mesh, convex)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []

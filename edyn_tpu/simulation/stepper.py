@@ -42,6 +42,9 @@ class SceneMeta:
     bucket_cap: int | None = None
     island_iters: int = 16
     broadphase_block: int = 256
+    # static scene fact: any spin/rolling-friction materials present (skips
+    # the spin/roll row machinery entirely when False)
+    has_spin_roll: bool = True
     # optional custom pair filter fn(state, i_idx, j_idx) -> bool mask,
     # applied on top of the default filters (reference:
     # settings.should_collide_func, context/settings.hpp:43). Must be a
@@ -78,7 +81,7 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     # --- AABBs (reference: sys/update_aabbs) ---
     amin, amax = compute_aabbs(state.shape_type, state.shape_params, state.pos,
                                state.orn, state.poly, state.shape_index,
-                               state.mesh)
+                               state.mesh, state.convex)
     state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax)
 
     # --- broadphase ---
@@ -97,7 +100,8 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
 
     use_rest = settings.num_restitution_iterations > 0
     rows = solver_mod.build_contact_rows(state, man, dt, use_rest,
-                                         settings.mass_splitting)
+                                         settings.mass_splitting,
+                                         meta.has_spin_roll)
 
     # --- restitution pre-pass (before gravity; reference solver.cpp:387-400) ---
     if use_rest:

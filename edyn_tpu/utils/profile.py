@@ -86,7 +86,7 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
 
     amin, amax = timed("aabbs", jax.jit(lambda s: compute_aabbs(
         s.shape_type, s.shape_params, s.pos, s.orn, s.poly, s.shape_index,
-        s.mesh)), st)
+        s.mesh, s.convex)), st)
     st = dc.replace(st, aabb_min=amin, aabb_max=amax)
     keys, pa, pb, pv, _ = timed(
         "broadphase", lambda s: find_pairs(s, meta.max_pairs,
@@ -103,7 +103,7 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
     rows = timed("prepare_constraints", jax.jit(
         lambda s, m: sm.build_contact_rows(
             s, m, S.fixed_dt, S.num_restitution_iterations > 0,
-            S.mass_splitting)), st, man)
+            S.mass_splitting, meta.has_spin_roll)), st, man)
     if S.num_restitution_iterations > 0:
         timed("restitution", jax.jit(
             lambda s, r: sm.solve_restitution(
