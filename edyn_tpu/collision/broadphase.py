@@ -29,6 +29,20 @@ INVALID_KEY = jnp.iinfo(jnp.int32).max
 DENSE_LIMIT = 12_000  # N above which the blocked path kicks in
 
 
+def _compact(flat_mask, size: int):
+    """Indices of set bits, ascending, padded with -1 — via exclusive cumsum
+    + dropped scatter (jnp.nonzero's sort-based lowering is O(L log L) on a
+    1e8-element mask; this is O(L))."""
+    L = flat_mask.shape[0]
+    pos = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+    write = jnp.where(flat_mask, pos, size)
+    out = jnp.full((size,), -1, jnp.int32)
+    src = jnp.arange(L, dtype=jnp.int32)
+    out = out.at[write].set(src, mode="drop")
+    count = jnp.sum(flat_mask)
+    return out, count
+
+
 def _pair_filters(state, i_idx, j_idx):
     """Boolean mask of eligible pairs for row indices i vs columns j."""
     kind = state.kind
@@ -74,10 +88,9 @@ def find_pairs(state, max_pairs: int, block: int = 256,
             m &= should_collide_fn(state, idx, idx)
         m &= _overlap(state, idx, idx)
         flat = m.reshape(-1)
-        total = jnp.sum(flat)
-        (loc,) = jnp.nonzero(flat, size=max_pairs, fill_value=-1)
+        loc, total = _compact(flat, max_pairs)
         keys = jnp.where(loc >= 0, loc, INVALID_KEY).astype(jnp.int32)
-        # nonzero returns ascending locations => keys already sorted
+        # ascending locations => keys already sorted
         dropped = jnp.maximum(total - max_pairs, 0)
     else:
         n_blocks = -(-N // block)
@@ -92,8 +105,7 @@ def find_pairs(state, max_pairs: int, block: int = 256,
             m &= i_idx[:, None] < N
             m &= _overlap(state, i_c, idx)
             flat = m.reshape(-1)
-            count = jnp.sum(flat)
-            (loc,) = jnp.nonzero(flat, size=kb, fill_value=-1)
+            loc, count = _compact(flat, kb)
             ii = i_c[loc // N]
             jj = loc % N
             k = jnp.where(loc >= 0, ii * N + jj, INVALID_KEY).astype(jnp.int32)

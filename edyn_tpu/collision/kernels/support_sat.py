@@ -102,8 +102,26 @@ def collide_support(A: Side, B: Side, threshold, axis_validity=None,
     # lateral containment: a candidate is a real closest-proximity point only
     # if it lies inside BOTH shapes' tangent-plane footprint (slab bounds
     # along t1/t2) — without this, a flat feature contributes its far corners
-    # against a small/curved shape.
+    # against a small/curved shape. When BOTH supporting features are flat
+    # (zero radius, >=2 support verts on the contact plane), out-of-slab
+    # candidates are CLAMPED into the footprint intersection instead of
+    # rejected — the rectangle-clip that makes crossed faces (e.g. X-stacked
+    # bars, whose support points are all outside the overlap region) produce
+    # their mid-face contact patch (the support-mapped analogue of the
+    # reference's face-clipping, SURVEY A.3).
     tol = 5e-3
+
+    def flat_feature(S_, d):
+        from .support import world_verts
+        proj = jnp.sum(world_verts(S_) * d[:, None, :], -1)
+        proj = jnp.where(S_.vert_mask, proj, -1e30)
+        maxp = jnp.max(proj, axis=-1, keepdims=True)
+        cnt = jnp.sum(proj >= maxp - 1e-4, axis=-1)
+        return (S_.radius < 1e-9) & (cnt >= 2)
+
+    both_flat = (flat_feature(A, -n) & flat_feature(B, n))[:, None]
+
+    shift = jnp.zeros_like(on_a)
     for t in (t1, t2):
         hi_a = support_projection(A, t)
         lo_a = -support_projection(A, -t)
@@ -112,9 +130,20 @@ def collide_support(A: Side, B: Side, threshold, axis_validity=None,
         lo = jnp.maximum(lo_a, lo_b)[:, None]
         hi = jnp.minimum(hi_a, hi_b)[:, None]
         proj = jnp.sum(on_a * t[:, None, :], -1)
-        valid &= (proj >= lo - tol) & (proj <= hi + tol)
+        inside = (proj >= lo - tol) & (proj <= hi + tol)
+        valid &= inside | both_flat
+        clipped = jnp.clip(proj, lo, hi)
+        shift = shift + jnp.where(both_flat[..., None],
+                                  (clipped - proj)[..., None] * t[:, None, :],
+                                  0.0)
+    on_a = on_a + shift
+    on_b = on_b + shift
+    # selection bias: prefer unshifted candidates at equal depth so the chosen
+    # pivots are frame-stable (warm-start matching)
+    shifted = jnp.sum(shift * shift, -1) > 1e-12
+    sel_depth = depth + jnp.where(shifted, 1e-5, 0.0)
 
-    idx4, pv = reduce_to_4(on_a, depth, valid)
+    idx4, pv = reduce_to_4(on_a, sel_depth, valid)
     pa4 = gather_points(on_a, idx4)
     pb4 = gather_points(on_b, idx4)
     d4 = gather_points(depth, idx4)

@@ -26,6 +26,9 @@ from ..math import quat
 from ..shapes.params import ShapeType
 from .kernels import box_box, primitives
 from .kernels.common import ContactResult
+from .kernels.compound import (
+    collide_compound_compound, collide_compound_convex, collide_compound_plane,
+)
 from .kernels.mesh import collide_convex_mesh
 from .kernels.plane_unified import collide_convex_plane
 from .kernels.support import Side
@@ -36,6 +39,7 @@ S = ShapeType
 
 # bucket classes
 B_UNIFIED, B_BOXBOX, B_PLANE, B_CYLPLANE, B_MESH = 0, 1, 2, 3, 4
+B_COMP_CONVEX, B_COMP_PLANE, B_COMP_COMP = 5, 6, 7
 
 
 def _is_convex(t):
@@ -63,7 +67,16 @@ def classify(ta, tb):
     mesh_b = _is_convex(ta) & _is_mesh(tb)
     mesh_a = _is_mesh(ta) & _is_convex(tb)
     cls = jnp.where(mesh_a | mesh_b, B_MESH, cls)
-    swap = plane_a | mesh_a  # convex must be side A
+    comp_a = ta == S.COMPOUND
+    comp_b = tb == S.COMPOUND
+    cls = jnp.where((comp_a & _is_convex(tb)) | (_is_convex(ta) & comp_b),
+                    B_COMP_CONVEX, cls)
+    cls = jnp.where((comp_a & (tb == S.PLANE)) | ((ta == S.PLANE) & comp_b),
+                    B_COMP_PLANE, cls)
+    cls = jnp.where(comp_a & comp_b, B_COMP_COMP, cls)
+    # swap so the convex/compound lead side is A
+    swap = plane_a | mesh_a | (_is_convex(ta) & comp_b) | \
+        ((ta == S.PLANE) & comp_b)
     return cls, swap
 
 
@@ -93,6 +106,12 @@ def _classes_present(types_present: frozenset):
             out.append(B_CYLPLANE)
     if (S.MESH in types_present or S.PAGED_MESH in types_present) and conv:
         out.append(B_MESH)
+    if S.COMPOUND in types_present:
+        if conv:
+            out.append(B_COMP_CONVEX)
+        if S.PLANE in types_present:
+            out.append(B_COMP_PLANE)
+        out.append(B_COMP_COMP)
     return out
 
 
@@ -141,10 +160,17 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         elif bucket == B_CYLPLANE:
             res = primitives.collide_cylinder_plane(
                 A.pos, A.orn, A.params, B.pos, B.orn, B.params, threshold)
-        else:  # B_MESH
+        elif bucket == B_MESH:
             res = collide_convex_mesh(A, B, threshold,
                                       mesh_table=state.mesh,
                                       mesh_index=state.shape_index[kb])
+        elif bucket == B_COMP_CONVEX:
+            # A = compound; swap orientation: the convex other body is B
+            res = collide_compound_convex(state, ka, kb, A, B, threshold)
+        elif bucket == B_COMP_PLANE:
+            res = collide_compound_plane(state, ka, kb, A, B, threshold)
+        else:  # B_COMP_COMP
+            res = collide_compound_compound(state, ka, kb, A, B, threshold)
 
         res_sw = res.swapped()
         pv = jnp.where(sw[:, None], res_sw.point_valid, res.point_valid) & sel_ok[:, None]

@@ -73,6 +73,8 @@ class WorldBuilder:
         self._poly_index: dict[int, int] = {}  # id(shape) -> table idx
         self._meshes: list[MeshShape] = []
         self._mesh_index: dict[int, int] = {}
+        self._compounds: list[CompoundShape] = []
+        self._compound_index: dict[int, int] = {}
         self.exclusions: list[tuple[int, int]] = []
         self.material_mixes: list[tuple[int, int, "Material"]] = []
 
@@ -93,6 +95,11 @@ class WorldBuilder:
             if key not in self._mesh_index:
                 self._mesh_index[key] = len(self._meshes)
                 self._meshes.append(def_.shape)
+        elif isinstance(def_.shape, CompoundShape):
+            key = id(def_.shape)
+            if key not in self._compound_index:
+                self._compound_index[key] = len(self._compounds)
+                self._compounds.append(def_.shape)
         return idx
 
     def exclude_collision(self, a: int, b: int):
@@ -185,8 +192,9 @@ class WorldBuilder:
                 sindex[i] = self._mesh_index[id(sh)]
                 sparams[i, 0] = sindex[i]
             elif isinstance(sh, CompoundShape):
-                raise NotImplementedError(
-                    "compound packing lands with its kernels")
+                stype[i] = ShapeType.COMPOUND
+                sindex[i] = self._compound_index[id(sh)]
+                sparams[i, 0] = sindex[i]
             else:
                 st, prm = sh.pack()
                 stype[i] = st
@@ -201,6 +209,9 @@ class WorldBuilder:
                     I = np.diag(I) if I.ndim == 1 else I
                 elif isinstance(sh, PolyhedronShape):
                     I = polyhedron_inertia(sh.vertices, d.mass)
+                elif isinstance(sh, CompoundShape):
+                    from ..shapes.compound import compound_mass_properties
+                    I, _com = compound_mass_properties(sh, d.mass)
                 elif sh is not None:
                     I = np.diag(moment_of_inertia(int(stype[i]), sparams[i], d.mass))
                 else:
@@ -225,10 +236,66 @@ class WorldBuilder:
                 excl[x, slot] = y
 
         from ..shapes.mesh import pack_meshes
-        from ..shapes.convex import build_convex_table
+        from ..shapes.convex import build_convex_table, shape_convex_data
+        from ..shapes.compound import CompoundTable, compound_aabb_extent
         mesh_table = pack_meshes(self._meshes)
-        convex = build_convex_table(stype, sparams, sindex, poly_np)
-        ws = WorldState.zeros(N, M, J, poly, mesh_table, convex)
+
+        # compound children become extra convex-table rows past the N bodies
+        child_data = []
+        comp_rows = []
+        for comp in self._compounds:
+            rows = []
+            for shape, lpos, lorn in comp.children:
+                if isinstance(shape, PolyhedronShape):
+                    pi = self._poly_index.get(id(shape))
+                    if pi is None:
+                        from ..shapes.params import preprocess_polyhedron
+                        v = np.asarray(shape.vertices, np.float64)
+                        fn, ed = preprocess_polyhedron(v)
+                        data = (v, 0.0, fn, ed)
+                    else:
+                        data = shape_convex_data(int(ShapeType.POLYHEDRON),
+                                                 (pi, 0, 0, 0), poly_np, pi)
+                else:
+                    st_c, prm_c = shape.pack()
+                    data = shape_convex_data(int(st_c), prm_c)
+                rows.append(N + len(child_data))
+                child_data.append(data)
+            comp_rows.append(rows)
+
+        convex = build_convex_table(stype, sparams, sindex, poly_np,
+                                    extra_data=child_data)
+
+        if self._compounds:
+            CH = max(len(r) for r in comp_rows)
+            NC = len(self._compounds)
+            c_row = np.full((NC, CH), -1, np.int32)
+            c_pos = np.zeros((NC, CH, 3), np.float32)
+            c_orn = np.zeros((NC, CH, 4), np.float32)
+            c_orn[..., 3] = 1
+            c_mask = np.zeros((NC, CH), bool)
+            for ci, (comp, rows_i) in enumerate(zip(self._compounds, comp_rows)):
+                for k, ((shape, lpos, lorn), row) in enumerate(
+                        zip(comp.children, rows_i)):
+                    c_row[ci, k] = row
+                    c_pos[ci, k] = lpos
+                    q = np.asarray(lorn, np.float64)
+                    c_orn[ci, k] = q / np.linalg.norm(q)
+                    c_mask[ci, k] = True
+            compound_table = CompoundTable(
+                child_row=jnp.asarray(c_row), child_pos=jnp.asarray(c_pos),
+                child_orn=jnp.asarray(c_orn), child_mask=jnp.asarray(c_mask))
+            # compound bodies' own convex row: bounding sphere for the AABB
+            for i, d in enumerate(self.defs):
+                if isinstance(d.shape, CompoundShape):
+                    bound = compound_aabb_extent(d.shape)
+                    convex = dataclasses.replace(
+                        convex, radius=convex.radius.at[i].set(bound))
+        else:
+            compound_table = CompoundTable.empty()
+
+        ws = WorldState.zeros(N, M, J, poly, mesh_table, convex,
+                              compound_table)
         ws = dataclasses.replace(
             ws,
             pos=jnp.asarray(pos), orn=jnp.asarray(orn),

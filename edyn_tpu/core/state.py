@@ -202,6 +202,7 @@ class WorldState:
     poly: PolyTable
     mesh: "object"  # MeshTable (shapes.mesh) — static trimesh side tables
     convex: "object"  # ConvexTable (shapes.convex) — unified per-body cloud
+    compound: "object"  # CompoundTable (shapes.compound) — child lists
     mix_table: MixTable
     # clock
     step_count: jnp.ndarray   # [] int32
@@ -230,9 +231,10 @@ class WorldState:
 
     @staticmethod
     def zeros(N: int, M: int, J: int, poly: PolyTable | None = None,
-              mesh=None, convex=None) -> "WorldState":
+              mesh=None, convex=None, compound=None) -> "WorldState":
         from ..shapes.mesh import MeshTable
         from ..shapes.convex import ConvexTable
+        from ..shapes.compound import CompoundTable
         ident = jnp.zeros((N, 4)).at[:, 3].set(1.0)
         return WorldState(
             pos=jnp.zeros((N, 3)),
@@ -270,6 +272,7 @@ class WorldState:
             poly=poly if poly is not None else PolyTable.empty(),
             mesh=mesh if mesh is not None else MeshTable.empty(),
             convex=convex if convex is not None else ConvexTable.empty(N),
+            compound=compound if compound is not None else CompoundTable.empty(),
             mix_table=MixTable.empty(),
             step_count=jnp.zeros((), jnp.int32),
             sim_time=jnp.zeros(()),

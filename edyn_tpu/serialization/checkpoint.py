@@ -69,9 +69,13 @@ def load_world(path_or_file, template: Optional[WorldState] = None):
                            for f in _dc.fields(MeshTable)]) \
             if data["mesh/tri_verts"].shape[0] else MeshTable.empty()
         from ..shapes.convex import ConvexTable
+        from ..shapes.compound import CompoundTable
         convex = ConvexTable(*[jax.numpy.asarray(data[f"convex/{f.name}"])
                                for f in _dc.fields(ConvexTable)])
-        template = WorldState.zeros(N, M, J, poly, mesh, convex)
+        compound = CompoundTable(*[jax.numpy.asarray(data[f"compound/{f.name}"])
+                                   for f in _dc.fields(CompoundTable)]) \
+            if data["compound/child_row"].shape[0] else CompoundTable.empty()
+        template = WorldState.zeros(N, M, J, poly, mesh, convex, compound)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []

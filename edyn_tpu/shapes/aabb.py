@@ -30,13 +30,17 @@ def compute_aabbs(shape_type, shape_params, pos, orn, poly_table=None,
     st = shape_type[..., None]
 
     # unified convex path: rotate cloud, masked min/max, +radius
+    # (the convex table may carry extra rows for compound children — body
+    # rows are the first N)
     cx = convex_table
-    vw = quat.rotate(orn[..., None, :], cx.verts) + pos[..., None, :]
-    vmask = cx.vert_mask[..., None]
-    amin = jnp.min(jnp.where(vmask, vw, BIG), axis=-2) - cx.radius[..., None]
-    amax = jnp.max(jnp.where(vmask, vw, -BIG), axis=-2) + cx.radius[..., None]
+    N = pos.shape[0]
+    vw = quat.rotate(orn[..., None, :], cx.verts[:N]) + pos[..., None, :]
+    vmask = cx.vert_mask[:N][..., None]
+    radius = cx.radius[:N]
+    amin = jnp.min(jnp.where(vmask, vw, BIG), axis=-2) - radius[..., None]
+    amax = jnp.max(jnp.where(vmask, vw, -BIG), axis=-2) + radius[..., None]
     # bodies with no cloud (NONE): point at pos
-    has_cloud = jnp.any(cx.vert_mask, axis=-1)[..., None]
+    has_cloud = jnp.any(cx.vert_mask[:N], axis=-1)[..., None]
     amin = jnp.where(has_cloud, amin, pos)
     amax = jnp.where(has_cloud, amax, pos)
 

@@ -109,22 +109,27 @@ def shape_convex_data(stype: int, params, poly_np=None, poly_index: int = 0):
 
 
 def build_convex_table(shape_types, shape_params, shape_index,
-                       poly_np=None) -> ConvexTable:
-    """Bake the per-body table (host-side, at finalize/spawn)."""
+                       poly_np=None, extra_data=None) -> ConvexTable:
+    """Bake the per-body table (host-side, at finalize/spawn). ``extra_data``
+    appends additional rows (compound children) as (verts, radius, faces,
+    edges) tuples past the N body rows."""
     N = len(shape_types)
     data = [shape_convex_data(int(shape_types[i]), shape_params[i], poly_np,
                               int(shape_index[i])) for i in range(N)]
+    if extra_data:
+        data = data + list(extra_data)
+    NT = len(data)
     V = max(max((len(d[0]) for d in data), default=1), 1)
     F = max(max((len(d[2]) for d in data), default=1), 1)
     E = max(max((len(d[3]) for d in data), default=1), 1)
     f32 = np.float32
-    verts = np.zeros((N, V, 3), f32)
-    vmask = np.zeros((N, V), bool)
-    radius = np.zeros((N,), f32)
-    fnorm = np.zeros((N, F, 3), f32)
-    fmask = np.zeros((N, F), bool)
-    edirs = np.zeros((N, E, 3), f32)
-    emask = np.zeros((N, E), bool)
+    verts = np.zeros((NT, V, 3), f32)
+    vmask = np.zeros((NT, V), bool)
+    radius = np.zeros((NT,), f32)
+    fnorm = np.zeros((NT, F, 3), f32)
+    fmask = np.zeros((NT, F), bool)
+    edirs = np.zeros((NT, E, 3), f32)
+    emask = np.zeros((NT, E), bool)
     for i, (v, r, f, e) in enumerate(data):
         verts[i, :len(v)] = v
         verts[i, len(v):] = v[0] if len(v) else 0.0  # pad w/ real vertex
