@@ -17,7 +17,7 @@ def test_async_worker_steps_and_applies_ops():
     w.step(1)  # compile before starting the clock
     sim = AsyncSimulation(w).start()
     try:
-        deadline = time.time() + 10.0
+        deadline = time.time() + 30.0
         while sim.steps_done < 30 and time.time() < deadline:
             time.sleep(0.05)
         assert sim.steps_done >= 30, "worker made no progress"
