@@ -1,0 +1,44 @@
+"""Paged terrain streaming (reference: shapes/test_paged_trimesh.cpp)."""
+import numpy as np
+
+import edyn_tpu as et
+from edyn_tpu.shapes.paged import PagedTerrain
+from test_mesh import make_grid_mesh
+
+
+def test_paged_terrain_streams_and_collides():
+    verts, tris = make_grid_mesh(24, 24, 1.0)
+    # fix winding upward
+    n = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                 verts[tris[:, 2]] - verts[tris[:, 0]])
+    tris[n[:, 1] < 0] = tris[n[:, 1] < 0][:, [0, 2, 1]]
+
+    b = et.WorldBuilder()
+    loads, unloads = [], []
+    terrain = PagedTerrain(b, verts, tris, tile_size=6.0,
+                           on_page_load=lambda k, e: loads.append(k),
+                           on_page_unload=lambda k, e: unloads.append(k))
+    ball = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.3), position=(-8.0, 1.0, -8.0),
+        linvel=(8.0, 0, 8.0),
+        material=et.Material(friction=0.02, roll_friction=0.0),
+        sleeping_disabled=True))
+    w = et.make_world(b)
+    terrain.attach(w)
+    assert terrain.num_loaded == 0
+
+    terrain.update()
+    assert terrain.num_loaded >= 1, "page under the ball should load"
+    first_loaded = terrain.num_loaded
+
+    ys = []
+    for _ in range(150):
+        w.step()
+        terrain.update()
+        ys.append(float(w.position(ball)[1]))
+    # ball crossed tiles without falling through (pages loaded in time)
+    assert min(ys) > 0.1, min(ys)
+    assert len(loads) > first_loaded, "no additional pages streamed in"
+    assert len(unloads) >= 1, "left-behind pages never unloaded"
+    p = w.position(ball)
+    assert p[0] > -2.0, "ball didn't travel"
