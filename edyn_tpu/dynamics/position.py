@@ -33,6 +33,12 @@ def solve_positions(state, man, num_iterations: int):
     valid = flat(man.point_valid & man.valid[:, None])
     valid &= state.has_material[a] & state.has_material[b]
     valid &= ~(state.asleep[a] & state.asleep[b])
+    # soft (spring) contacts penetrate by design — no positional correction
+    # (reference: contact_extras replaces the rigid contact constraint)
+    from ..config import LARGE_SCALAR
+    stiff = 1.0 / (1.0 / jnp.maximum(state.stiffness[a], 1.0)
+                   + 1.0 / jnp.maximum(state.stiffness[b], 1.0))
+    valid &= stiff >= LARGE_SCALAR
     attach = flat(man.normal_attachment)
     ln = flat(man.local_normal)
     piv_a = flat(man.pivot_a)

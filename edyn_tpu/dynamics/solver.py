@@ -80,6 +80,11 @@ class ContactRows:
     r2: RowDir
     friction: jnp.ndarray     # [R] mixed coefficient
     restitution: jnp.ndarray  # [R] mixed coefficient
+    upper_n: jnp.ndarray      # [R] normal-impulse cap: BIG for rigid contacts,
+                              # spring+damper impulse for soft ones (reference:
+                              # contact_extras_constraint stiffness/damping
+                              # rows, src/edyn/util/collision_util.cpp:372-379)
+    soft: jnp.ndarray         # [R] bool — excluded from NGS position solve
     # spin & rolling friction (reference: contact_extras_constraint,
     # src/edyn/constraints/contact_extras_constraint.cpp — pure angular rows
     # whose impulse is limited by the normal load): mixed coefficients and
@@ -201,6 +206,11 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
     friction = jnp.sqrt(jnp.maximum(state.friction[a] * state.friction[b], 0.0))
     spin_fr = jnp.maximum(state.spin_friction[a], state.spin_friction[b])
     roll_fr = jnp.maximum(state.roll_friction[a], state.roll_friction[b])
+    # series stiffness/damping (reference mix: 1/(1/a+1/b))
+    stiff = 1.0 / (1.0 / jnp.maximum(state.stiffness[a], 1.0)
+                   + 1.0 / jnp.maximum(state.stiffness[b], 1.0))
+    dampc = 1.0 / (1.0 / jnp.maximum(state.damping[a], 1.0)
+                   + 1.0 / jnp.maximum(state.damping[b], 1.0))
 
     # pair-table override (reference: material_mix_table lookup precedes the
     # default mix functions, src/edyn/util/collision_util.cpp:294-310)
@@ -242,9 +252,21 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
         em_spin = em_roll1 = em_roll2 = None
         rhs_spin = rhs_roll1 = rhs_roll2 = None
 
+    # soft contacts: normal impulse capped by the spring+damper force over dt
+    # (penetration-proportional), instead of the rigid non-penetration row
+    from ..config import LARGE_SCALAR
+    soft = stiff < LARGE_SCALAR
+    pen = jnp.maximum(-dist, 0.0)
+    relvel_n = (vec.dot(n, va) + vec.dot(rn.JaA, wa)
+                - vec.dot(n, vb) + vec.dot(rn.JaB, wb))
+    spring_cap = jnp.maximum((stiff * pen + dampc * jnp.maximum(-relvel_n, 0.0))
+                             * dt, 0.0)
+    upper_n = jnp.where(soft, spring_cap, BIG)
+
     return ContactRows(valid=valid, a=a, b=b, inv_mA=inv_mA, inv_mB=inv_mB,
                        n=n, t1=t1, t2=t2, rn=rn, r1=r1, r2=r2,
                        friction=friction, restitution=restit_mix,
+                       upper_n=upper_n, soft=soft,
                        spin_friction=spin_fr, roll_friction=roll_fr,
                        sA_n=sA_n, sB_n=sB_n, sA_t1=sA_t1, sB_t1=sB_t1,
                        sA_t2=sA_t2, sB_t2=sB_t2,
@@ -339,7 +361,7 @@ def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
 
     # normal
     dlam = (rows.rn.rhs - drel(rows.n, rows.rn)) * rows.rn.eff_mass
-    new_n = jnp.clip(n_imp + dlam, 0.0, BIG)
+    new_n = jnp.clip(n_imp + dlam, 0.0, rows.upper_n)
     dn = new_n - n_imp
 
     # friction circle against the updated normal impulse

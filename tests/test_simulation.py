@@ -159,3 +159,22 @@ def test_warm_start_impulses_persist():
     assert imp.max() > 0, "no accumulated normal impulse"
     lt = np.asarray(w.state.contacts.lifetime)
     assert lt.max() > 30, "contact points are not persisting"
+
+
+def test_soft_contact_sinks_and_springs():
+    """Soft material contact: body rests with spring penetration instead of
+    rigid correction (reference: contact_extras stiffness/damping rows)."""
+    b = et.WorldBuilder()
+    b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.PlaneShape((0, 1, 0), 0.0),
+        material=et.Material(friction=0.6, stiffness=4000.0, damping=100.0)))
+    box = b.make_rigidbody(et.RigidBodyDef(
+        mass=10.0, shape=et.BoxShape((0.2, 0.2, 0.2)), position=(0, 0.5, 0),
+        material=et.Material(friction=0.6), sleeping_disabled=True))
+    w = et.make_world(b)
+    w.step(420)
+    y = float(w.position(box)[1])
+    # equilibrium: k_eff * pen = m g; series stiffness with rigid side ~= 4000
+    pen_expected = 10.0 * 9.8 / 4000.0
+    assert 0.2 - y == pytest.approx(pen_expected, abs=0.01), (0.2 - y, pen_expected)
+    assert abs(float(w.linvel(box)[1])) < 0.05
