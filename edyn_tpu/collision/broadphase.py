@@ -58,9 +58,9 @@ def _pair_filters(state, i_idx, j_idx):
     gi, mi = state.group[i_idx][:, None], state.mask[i_idx][:, None]
     gj, mj = state.group[j_idx][None, :], state.mask[j_idx][None, :]
     m &= ((gi & mj) != 0) & ((gj & mi) != 0)
-    # exclusion lists (fixed-width; reference comp/collision_exclusion.hpp)
-    ex_i = state.exclusions[i_idx]  # [B,E]
-    m &= ~jnp.any(ex_i[:, None, :] == j_idx[None, :, None], axis=-1)
+    # NOTE: exclusion lists are applied AFTER compaction (checking them inside
+    # the dense mask would cost an [N,N,16] compare — ~1.6e9 elements at 10k
+    # bodies); see find_pairs.
     return m
 
 
@@ -121,4 +121,9 @@ def find_pairs(state, max_pairs: int, block: int = 256,
     valid = keys != INVALID_KEY
     body_a = jnp.where(valid, keys // N, 0)
     body_b = jnp.where(valid, keys % N, 0)
+    # exclusion lists (reference comp/collision_exclusion.hpp), post-compaction:
+    # max_pairs x 16 compares instead of N^2 x 16
+    ex_a = state.exclusions[body_a]               # [P,E]
+    excluded = jnp.any(ex_a == body_b[:, None], axis=-1)
+    valid &= ~excluded
     return keys, body_a, body_b, valid, dropped

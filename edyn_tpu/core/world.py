@@ -29,9 +29,9 @@ def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
     present = frozenset(int(t) for t in np.unique(stypes[valid]))
     if max_pairs is None:
         n = int(valid.sum())
-        max_pairs = max(256, min(16 * n, 1 << 18))
+        max_pairs = max(256, min(10 * n, 1 << 18))
     max_pairs = min(max_pairs, state.contacts.key.shape[0])
-    kw.setdefault("bucket_cap", max(512, max_pairs // 4))
+    kw.setdefault("bucket_cap", max(512, max_pairs // 2))
     has_sr = bool((np.asarray(state.spin_friction)[valid] > 0).any()
                   or (np.asarray(state.roll_friction)[valid] > 0).any()
                   or (np.asarray(state.mix_table.vals)[:, 2:4] > 0).any())
@@ -276,7 +276,7 @@ def make_world(builder: WorldBuilder, settings: Settings = Settings(),
     table share the same (sorted-by-key) layout."""
     if max_pairs is None:
         n = len(builder.defs)
-        max_pairs = max(256, min(16 * n, 1 << 18))
+        max_pairs = max(256, min(10 * n, 1 << 18))
     finalize_kw.setdefault("max_manifolds", max_pairs)
     state = builder.finalize(capacity=capacity, **finalize_kw)
     return World(state, settings, derive_meta(state, max_pairs))

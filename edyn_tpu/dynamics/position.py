@@ -1,13 +1,18 @@
-"""Nonlinear Gauss-Seidel position correction (batched NGS).
+"""Nonlinear Gauss-Seidel position correction (batched NGS, linearized).
 
 Reference: position_solver (include/edyn/dynamics/position_solver.hpp:13-52)
 driven per contact by contact_constraint::solve_position
 (src/edyn/constraints/contact_constraint.cpp:60-94, credited to Box2D's
-b2_contact_solver): per iteration, recompute world pivots and the attached
-normal from the *current* transforms, error = -distance, apply
-error * correction_rate directly to positions/orientations with freshly
-rotated inverse inertia. Batched here with the same mass-splitting degree
-scaling as the velocity solver.
+b2_contact_solver): per iteration, recompute pivots/normal and apply
+error * correction_rate directly to positions/orientations.
+
+TPU formulation: jacobians, normals and effective masses are LINEARIZED at
+step-start orientations (corrections per step are a few mm/мrad, so the
+re-rotation the reference does per iteration changes them negligibly), which
+makes each of the 3 iterations a cheap gather->dot->scatter round; positional
+error does track the evolving positions AND the accumulated angular
+correction via the rotating-lever first-order term. Soft contacts are
+excluded (springs penetrate by design).
 """
 from __future__ import annotations
 
@@ -16,9 +21,9 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..config import CONTACT_POSITION_CORRECTION_RATE
+from ..config import CONTACT_POSITION_CORRECTION_RATE, LARGE_SCALAR
 from ..math import quat, vec
-from .solver import degree_counts, eff_mass_of
+from .solver import degree_counts
 
 
 def solve_positions(state, man, num_iterations: int):
@@ -34,55 +39,56 @@ def solve_positions(state, man, num_iterations: int):
     valid &= state.has_material[a] & state.has_material[b]
     valid &= ~(state.asleep[a] & state.asleep[b])
     # soft (spring) contacts penetrate by design — no positional correction
-    # (reference: contact_extras replaces the rigid contact constraint)
-    from ..config import LARGE_SCALAR
     stiff = 1.0 / (1.0 / jnp.maximum(state.stiffness[a], 1.0)
                    + 1.0 / jnp.maximum(state.stiffness[b], 1.0))
     valid &= stiff >= LARGE_SCALAR
+
+    orn_a = state.orn[a]
+    orn_b = state.orn[b]
     attach = flat(man.normal_attachment)
     ln = flat(man.local_normal)
-    piv_a = flat(man.pivot_a)
-    piv_b = flat(man.pivot_b)
+    n = jnp.where((attach == 1)[:, None], quat.rotate(orn_a, ln),
+                  jnp.where((attach == 2)[:, None], quat.rotate(orn_b, ln), ln))
+    rA = quat.rotate(orn_a, flat(man.pivot_a))
+    rB = quat.rotate(orn_b, flat(man.pivot_b))
+
     inv_mA = jnp.where(valid, state.mass_inv[a], 0.0)
     inv_mB = jnp.where(valid, state.mass_inv[b], 0.0)
+    Iw = state.inertia_world_inv()
+    inv_IA = Iw[a] * valid[:, None, None]
+    inv_IB = Iw[b] * valid[:, None, None]
     deg = degree_counts(state.capacity, [a, b], [valid, valid])
 
-    inertia_inv = state.inertia_inv
+    JaA = jnp.cross(rA, n)
+    JaB = -jnp.cross(rB, n)
+    tA = jnp.einsum("rij,rj->ri", inv_IA, JaA)
+    tB = jnp.einsum("rij,rj->ri", inv_IB, JaB)
+    term = (inv_mA * deg[a] + vec.dot(tA, JaA) * deg[a]
+            + inv_mB * deg[b] + vec.dot(tB, JaB) * deg[b])
+    em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
+
+    # signed separation at step start; iterations update it to first order
+    base_dist = flat(man.distance)
 
     def body(_, carry):
-        pos, orn = carry
-        orn_a = orn[a]
-        orn_b = orn[b]
-        pa_w = pos[a] + quat.rotate(orn_a, piv_a)
-        pb_w = pos[b] + quat.rotate(orn_b, piv_b)
-        n = jnp.where((attach == 1)[:, None], quat.rotate(orn_a, ln),
-                      jnp.where((attach == 2)[:, None], quat.rotate(orn_b, ln), ln))
-        dist = vec.dot(pa_w - pb_w, n)
+        dpos, dang = carry
+        # current separation: base + normal-projected relative correction,
+        # including the lever rotation first-order term (dang x r)
+        corr_rel = (dpos[a] + jnp.cross(dang[a], rA)
+                    - dpos[b] - jnp.cross(dang[b], rB))
+        dist = base_dist + vec.dot(corr_rel, n)
         error = jnp.maximum(-dist, 0.0)
+        lam = jnp.where(valid, error * CONTACT_POSITION_CORRECTION_RATE * em,
+                        0.0)[:, None]
+        dpos = dpos.at[a].add(inv_mA[:, None] * n * lam)
+        dpos = dpos.at[b].add(inv_mB[:, None] * -n * lam)
+        dang = dang.at[a].add(tA * lam)
+        dang = dang.at[b].add(tB * lam)
+        return dpos, dang
 
-        rA = pa_w - pos[a]
-        rB = pb_w - pos[b]
-        Ra = quat.to_matrix(orn_a)
-        Rb = quat.to_matrix(orn_b)
-        inv_IA = jnp.einsum("rij,rjk,rlk->ril", Ra, inertia_inv[a], Ra) * valid[:, None, None]
-        inv_IB = jnp.einsum("rij,rjk,rlk->ril", Rb, inertia_inv[b], Rb) * valid[:, None, None]
-        JaA = jnp.cross(rA, n)
-        JaB = -jnp.cross(rB, n)
-        em = eff_mass_of(n, JaA, -n, JaB, inv_mA * deg[a],
-                         inv_IA * deg[a][:, None, None],
-                         inv_mB * deg[b], inv_IB * deg[b][:, None, None])
-        corr = jnp.where(valid, error * CONTACT_POSITION_CORRECTION_RATE * em, 0.0)
-
-        dpos = jnp.zeros_like(pos)
-        dang = jnp.zeros_like(pos)
-        dpos = dpos.at[a].add(inv_mA[:, None] * n * corr[:, None])
-        dang = dang.at[a].add(jnp.einsum("rij,rj->ri", inv_IA, JaA) * corr[:, None])
-        dpos = dpos.at[b].add(inv_mB[:, None] * -n * corr[:, None])
-        dang = dang.at[b].add(jnp.einsum("rij,rj->ri", inv_IB, JaB) * corr[:, None])
-
-        pos = pos + dpos
-        orn = quat.integrate(orn, dang, 1.0)
-        return pos, orn
-
-    pos, orn = jax.lax.fori_loop(0, num_iterations, body, (state.pos, state.orn))
-    return dataclasses.replace(state, pos=pos, orn=orn)
+    zero = jnp.zeros_like(state.pos)
+    dpos, dang = jax.lax.fori_loop(0, num_iterations, body, (zero, zero))
+    return dataclasses.replace(
+        state,
+        pos=state.pos + dpos,
+        orn=quat.integrate(state.orn, dang, 1.0))

@@ -40,7 +40,7 @@ class SceneMeta:
     types_present: frozenset
     max_pairs: int
     bucket_cap: int | None = None
-    island_iters: int = 16
+    island_iters: int = 8
     broadphase_block: int = 256
     # static scene fact: any spin/rolling-friction materials present (skips
     # the spin/roll row machinery entirely when False)
