@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CONTACT_POSITION_CORRECTION_RATE, LARGE_SCALAR
+
+MAX_CORRECTION = 0.05  # metres of positional error consumed per iteration
 from ..math import quat, vec
 from .solver import degree_counts
 
@@ -77,7 +79,10 @@ def solve_positions(state, man, num_iterations: int):
         corr_rel = (dpos[a] + jnp.cross(dang[a], rA)
                     - dpos[b] - jnp.cross(dang[b], rB))
         dist = base_dist + vec.dot(corr_rel, n)
-        error = jnp.maximum(-dist, 0.0)
+        # clamp per-iteration error like Box2D's b2_maxLinearCorrection so the
+        # linearization stays in its validity range (also bounds feedback for
+        # thin bodies with large angular compliance)
+        error = jnp.clip(-dist, 0.0, MAX_CORRECTION)
         lam = jnp.where(valid, error * CONTACT_POSITION_CORRECTION_RATE * em,
                         0.0)[:, None]
         dpos = dpos.at[a].add(inv_mA[:, None] * n * lam)
@@ -88,6 +93,10 @@ def solve_positions(state, man, num_iterations: int):
 
     zero = jnp.zeros_like(state.pos)
     dpos, dang = jax.lax.fori_loop(0, num_iterations, body, (zero, zero))
+    # bound the per-step angular correction — beyond this the linearization
+    # is invalid and applying it adds energy
+    dang = vec.clamp_length(dang, 0.2)
+    dpos = vec.clamp_length(dpos, 3 * MAX_CORRECTION)
     return dataclasses.replace(
         state,
         pos=state.pos + dpos,
