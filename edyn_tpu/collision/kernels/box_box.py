@@ -33,7 +33,7 @@ def collide_box_box(pos_a, orn_a, params_a, pos_b, orn_b, params_b, threshold):
     t = pos_b - pos_a
 
     # --- 15 candidate axes ---
-    cross = jnp.cross(axes_a[:, :, None, :], axes_b[:, None, :, :])  # [K,3,3,3]
+    cross = vec.cross(axes_a[:, :, None, :], axes_b[:, None, :, :])  # [K,3,3,3]
     cross = cross.reshape(K, 9, 3)
     cross_len = vec.length(cross)
     cross_ok = cross_len > 1e-6

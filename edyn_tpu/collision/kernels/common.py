@@ -121,7 +121,7 @@ def reduce_to_4(cand_pos, cand_depth, cand_valid):
 
     # triangle area maximization: |cross(p-p0, p1-p0)|
     e01 = p1 - p0
-    area = vec.length_sqr(jnp.cross(cand_pos - p0[:, None, :], e01[:, None, :]))
+    area = vec.length_sqr(vec.cross(cand_pos - p0[:, None, :], e01[:, None, :]))
     taken = (jnp.arange(area.shape[1])[None, :] == i0[:, None]) | \
             (jnp.arange(area.shape[1])[None, :] == i1[:, None])
     area = jnp.where(cand_valid & ~taken, area, -big)

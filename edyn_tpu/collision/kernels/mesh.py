@@ -109,7 +109,7 @@ def collide_convex_mesh(A: Side, B: Side, threshold, mesh_table=None,
 
     res = collide_support(A_rep, tri_side, threshold,
                           axis_validity=axis_validity,
-                          orient_ref=tn_f)                  # [F,4]
+                          orient_ref=tn_f, clamp_flat=False)  # [F,4]
     pv = res.point_valid & ids_ok.reshape(F)[:, None]
     pv &= vec.dot(res.normal, tn_f[:, None, :]) > 0.0
 

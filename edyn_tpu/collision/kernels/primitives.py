@@ -232,7 +232,7 @@ def collide_capsule_capsule(pos_a, orn_a, params_a, pos_b, orn_b, params_b,
     b1 = pos_b + ax_b * hlb[:, None]
     s, t, ca, cb, _ = geom.closest_point_segment_segment(a0, a1, b0, b1)
     d = ca - cb
-    n = vec.normalize_or(d, vec.normalize_or(jnp.cross(ax_a, ax_b),
+    n = vec.normalize_or(d, vec.normalize_or(vec.cross(ax_a, ax_b),
                                              jnp.array([0.0, 1.0, 0.0])))
     dist = vec.length(d) - ra - rb
 

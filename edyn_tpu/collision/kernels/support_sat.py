@@ -32,7 +32,7 @@ TILT = 0.02  # radians-scale tangent tilt for patch sampling
 
 
 def collide_support(A: Side, B: Side, threshold, axis_validity=None,
-                    orient_ref=None):
+                    orient_ref=None, clamp_flat: bool = True):
     """The unified convex-convex kernel.
 
     axis_validity(axes)->mask restricts admissible separating axes (mesh
@@ -47,7 +47,7 @@ def collide_support(A: Side, B: Side, threshold, axis_validity=None,
     ea, eam = edge_dirs(A)
     eb, ebm = edge_dirs(B)
     if ea.shape[1] and eb.shape[1]:
-        cr = jnp.cross(ea[:, :, None, :], eb[:, None, :, :]).reshape(K, -1, 3)
+        cr = vec.cross(ea[:, :, None, :], eb[:, None, :, :]).reshape(K, -1, 3)
         crm = (eam[:, :, None] & ebm[:, None, :]).reshape(K, -1)
         crl = vec.length(cr)
         crm &= crl > 1e-6
@@ -119,7 +119,13 @@ def collide_support(A: Side, B: Side, threshold, axis_validity=None,
         cnt = jnp.sum(proj >= maxp - 1e-4, axis=-1)
         return (S_.radius < 1e-9) & (cnt >= 2)
 
-    both_flat = (flat_feature(A, -n) & flat_feature(B, n))[:, None]
+    if clamp_flat:
+        both_flat = (flat_feature(A, -n) & flat_feature(B, n))[:, None]
+    else:
+        # mesh kernels disable clamping: a triangle's tangent slab is its
+        # bounding RECTANGLE, so clamped points can land outside the actual
+        # triangle; the multi-triangle fold supplies patch coverage instead
+        both_flat = jnp.zeros((K, 1), bool)
 
     shift = jnp.zeros_like(on_a)
     for t in (t1, t2):
@@ -154,7 +160,9 @@ def collide_support(A: Side, B: Side, threshold, axis_validity=None,
 
 def make_support_kernel(ta: int = -1, tb: int = -1):
     """Back-compat factory (type args ignored — the kernel is data-driven)."""
-    def kernel(A, B, threshold, axis_validity=None, orient_ref=None):
-        return collide_support(A, B, threshold, axis_validity, orient_ref)
+    def kernel(A, B, threshold, axis_validity=None, orient_ref=None,
+               clamp_flat=True):
+        return collide_support(A, B, threshold, axis_validity, orient_ref,
+                               clamp_flat)
     kernel.__name__ = "support_sat_unified"
     return kernel

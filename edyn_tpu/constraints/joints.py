@@ -163,8 +163,8 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
 
     zero3 = jnp.zeros((Jn, 3))
     err = pa_w - pb_w
-    relvel_at = lambda d: (vec.dot(d, va) + vec.dot(jnp.cross(rA, d), wa)
-                           - vec.dot(d, vb) - vec.dot(jnp.cross(rB, d), wb))
+    relvel_at = lambda d: (vec.dot(d, va) + vec.dot(vec.cross(rA, d), wa)
+                           - vec.dot(d, vb) - vec.dot(vec.cross(rB, d), wb))
 
     # --- point / hinge / cvjoint / generic share 3 positional lock rows ---
     point_like = is_(JointType.POINT) | is_(JointType.HINGE) | \
@@ -173,15 +173,15 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     for k in range(3):
         d = jnp.broadcast_to(world_axes[k], (Jn, 3))
         r = -(vec.dot(err, d) / dt * ERP + relvel_at(d))
-        set_row(k, point_like, d, jnp.cross(rA, d), -d, -jnp.cross(rB, d), r)
+        set_row(k, point_like, d, vec.cross(rA, d), -d, -vec.cross(rB, d), r)
 
     # --- distance: single row along the pivot separation ---
     dist_len = vec.length(err)
     d_dir = vec.normalize_or(err, jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), err.shape))
     rest_len = jt.params[:, 0]
     r_dist = -((dist_len - rest_len) / dt * ERP + relvel_at(d_dir))
-    set_row(0, is_(JointType.DISTANCE), d_dir, jnp.cross(rA, d_dir),
-            -d_dir, -jnp.cross(rB, d_dir), r_dist)
+    set_row(0, is_(JointType.DISTANCE), d_dir, vec.cross(rA, d_dir),
+            -d_dir, -vec.cross(rB, d_dir), r_dist)
 
     # --- soft distance: spring (exact impulse) + damper row ---
     # params: [rest_len, stiffness, damping]  (reference:
@@ -192,12 +192,12 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     # lambda applies -d to B, so pulling a stretched spring together needs a
     # negative impulse
     spring_imp = -stiff * (dist_len - rest_len) * dt
-    set_row(0, is_(JointType.SOFT_DISTANCE), d_dir, jnp.cross(rA, d_dir),
-            -d_dir, -jnp.cross(rB, d_dir), jnp.zeros(Jn),
+    set_row(0, is_(JointType.SOFT_DISTANCE), d_dir, vec.cross(rA, d_dir),
+            -d_dir, -vec.cross(rB, d_dir), jnp.zeros(Jn),
             lo=spring_imp, hi=spring_imp)
     damp_imp = damp * dt
-    set_row(1, is_(JointType.SOFT_DISTANCE), d_dir, jnp.cross(rA, d_dir),
-            -d_dir, -jnp.cross(rB, d_dir), -relvel_at(d_dir),
+    set_row(1, is_(JointType.SOFT_DISTANCE), d_dir, vec.cross(rA, d_dir),
+            -d_dir, -vec.cross(rB, d_dir), -relvel_at(d_dir),
             lo=-damp_imp, hi=damp_imp)
 
     # --- hinge: 2 angular alignment rows + limits + friction/damping/spring ---
@@ -209,13 +209,13 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     # rotation that brings B's hinge axis onto A's; each transverse row u
     # drives dot(u, wa - wb) toward -dot(u, err)*erp/dt (reference:
     # hinge_constraint.cpp's two off-axis angular rows).
-    err_axis = jnp.cross(ax_b, ax_a)
+    err_axis = vec.cross(ax_b, ax_a)
     for k, u in enumerate((ay_a, az_a)):
         relw_u = vec.dot(u, wa) - vec.dot(u, wb)
         r = -(vec.dot(u, err_axis) / dt * ERP + relw_u)
         set_row(3 + k, hinge, zero3, u, zero3, -u, r)
     # hinge angle of B relative to A about the axis
-    sin_a = vec.dot(jnp.cross(ay_a, ay_b), ax_a)
+    sin_a = vec.dot(vec.cross(ay_a, ay_b), ax_a)
     cos_a = vec.dot(ay_a, ay_b)
     angle = jnp.arctan2(sin_a, cos_a)
     relw = vec.dot(ax_a, wa) - vec.dot(ax_a, wb)  # = -d(angle)/dt
@@ -261,7 +261,7 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     violated = cone & (viol > 0)
     # u oriented so that positive impulse (which torques B along -u) rotates
     # ax_b toward ax_a
-    u_corr = vec.normalize_or(jnp.cross(ax_a, ax_b),
+    u_corr = vec.normalize_or(vec.cross(ax_a, ax_b),
                               jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]),
                                                ax_a.shape))
     relw_c = vec.dot(u_corr, wa) - vec.dot(u_corr, wb)
@@ -271,8 +271,8 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     # --- generic: angular lock rows from the frame rotation-error vector ---
     # params: ang_lock_mask[0:3] (1 = locked)
     gen = is_(JointType.GENERIC)
-    err_frame = 0.5 * (jnp.cross(ax_b, ax_a) + jnp.cross(ay_b, ay_a)
-                       + jnp.cross(az_b, az_a))
+    err_frame = 0.5 * (vec.cross(ax_b, ax_a) + vec.cross(ay_b, ay_a)
+                       + vec.cross(az_b, az_a))
     for k, u in enumerate((ax_a, ay_a, az_a)):
         locked = gen & (jt.params[:, k] > 0.5)
         relw_u = vec.dot(u, wa) - vec.dot(u, wb)
@@ -281,7 +281,7 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
 
     # --- cvjoint: twist alignment about the primary axis ---
     cv = is_(JointType.CVJOINT)
-    twist_err = vec.dot(ax_a, jnp.cross(ay_b, ay_a))
+    twist_err = vec.dot(ax_a, vec.cross(ay_b, ay_a))
     r_tw = -(twist_err / dt * ERP + relw)
     set_row(3, cv, zero3, ax_a, zero3, -ax_a, r_tw)
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Settings
+from ..math import vec
 from ..simulation.stepper import SceneMeta, physics_step
 from .builder import WorldBuilder
 from .state import WorldState
@@ -32,6 +33,7 @@ def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
         max_pairs = max(256, min(10 * n, 1 << 18))
     max_pairs = min(max_pairs, state.contacts.key.shape[0])
     kw.setdefault("bucket_cap", max(512, max_pairs // 2))
+    kw.setdefault("max_rows", 2 * max_pairs)
     has_sr = bool((np.asarray(state.spin_friction)[valid] > 0).any()
                   or (np.asarray(state.roll_friction)[valid] > 0).any()
                   or (np.asarray(state.mix_table.vals)[:, 2:4] > 0).any())
@@ -106,7 +108,7 @@ class World:
         st = self.state
         linvel = st.linvel.at[i].add(st.mass_inv[i] * imp)
         Iw = st.inertia_world_inv()[i]
-        angvel = st.angvel.at[i].add(Iw @ jnp.cross(rel, imp))
+        angvel = st.angvel.at[i].add(Iw @ vec.cross(rel, imp))
         self.state = dataclasses.replace(st, linvel=linvel, angvel=angvel,
                                          asleep=st.asleep.at[i].set(False),
                                          sleep_timer=st.sleep_timer.at[i].set(0.0))

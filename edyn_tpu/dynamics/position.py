@@ -6,13 +6,15 @@ driven per contact by contact_constraint::solve_position
 b2_contact_solver): per iteration, recompute pivots/normal and apply
 error * correction_rate directly to positions/orientations.
 
-TPU formulation: jacobians, normals and effective masses are LINEARIZED at
-step-start orientations (corrections per step are a few mm/мrad, so the
-re-rotation the reference does per iteration changes them negligibly), which
-makes each of the 3 iterations a cheap gather->dot->scatter round; positional
-error does track the evolving positions AND the accumulated angular
-correction via the rotating-lever first-order term. Soft contacts are
-excluded (springs penetrate by design).
+TPU formulation: REUSES the velocity solver's compacted contact rows
+(jacobians, normals, effective masses, step-start separations) — corrections
+per step are a few mm/mrad, so the per-iteration re-rotation the reference
+does changes them negligibly. Each of the 3 iterations is a cheap
+gather->dot->scatter round; the positional error tracks the evolving
+correction to first order (including lever rotation), with Box2D-style
+per-iteration error clamping and bounded per-step corrections (outside that
+range the linearization would add energy). Soft contacts are excluded
+(springs penetrate by design).
 """
 from __future__ import annotations
 
@@ -21,67 +23,30 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..config import CONTACT_POSITION_CORRECTION_RATE, LARGE_SCALAR
+from ..config import CONTACT_POSITION_CORRECTION_RATE
+from ..math import quat, vec
 
 MAX_CORRECTION = 0.05  # metres of positional error consumed per iteration
-from ..math import quat, vec
-from .solver import degree_counts
 
 
-def solve_positions(state, man, num_iterations: int):
+def solve_positions(state, rows, num_iterations: int):
     if num_iterations <= 0:
         return state
-    M, P = man.point_valid.shape
-    R = M * P
-    flat = lambda x: x.reshape((R,) + x.shape[2:])
-
-    a = flat(jnp.broadcast_to(man.body_a[:, None], (M, P)))
-    b = flat(jnp.broadcast_to(man.body_b[:, None], (M, P)))
-    valid = flat(man.point_valid & man.valid[:, None])
-    valid &= state.has_material[a] & state.has_material[b]
-    valid &= ~(state.asleep[a] & state.asleep[b])
-    # soft (spring) contacts penetrate by design — no positional correction
-    stiff = 1.0 / (1.0 / jnp.maximum(state.stiffness[a], 1.0)
-                   + 1.0 / jnp.maximum(state.stiffness[b], 1.0))
-    valid &= stiff >= LARGE_SCALAR
-
-    orn_a = state.orn[a]
-    orn_b = state.orn[b]
-    attach = flat(man.normal_attachment)
-    ln = flat(man.local_normal)
-    n = jnp.where((attach == 1)[:, None], quat.rotate(orn_a, ln),
-                  jnp.where((attach == 2)[:, None], quat.rotate(orn_b, ln), ln))
-    rA = quat.rotate(orn_a, flat(man.pivot_a))
-    rB = quat.rotate(orn_b, flat(man.pivot_b))
-
-    inv_mA = jnp.where(valid, state.mass_inv[a], 0.0)
-    inv_mB = jnp.where(valid, state.mass_inv[b], 0.0)
-    Iw = state.inertia_world_inv()
-    inv_IA = Iw[a] * valid[:, None, None]
-    inv_IB = Iw[b] * valid[:, None, None]
-    deg = degree_counts(state.capacity, [a, b], [valid, valid])
-
-    JaA = jnp.cross(rA, n)
-    JaB = -jnp.cross(rB, n)
-    tA = jnp.einsum("rij,rj->ri", inv_IA, JaA)
-    tB = jnp.einsum("rij,rj->ri", inv_IB, JaB)
-    term = (inv_mA * deg[a] + vec.dot(tA, JaA) * deg[a]
-            + inv_mB * deg[b] + vec.dot(tB, JaB) * deg[b])
-    em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
-
-    # signed separation at step start; iterations update it to first order
-    base_dist = flat(man.distance)
+    valid = rows.valid & ~rows.soft
+    a, b = rows.a, rows.b
+    n = rows.n
+    rA, rB = rows.rA, rows.rB
+    inv_mA = jnp.where(valid, rows.inv_mA, 0.0)
+    inv_mB = jnp.where(valid, rows.inv_mB, 0.0)
+    tA, tB = rows.rn.tA, rows.rn.tB
+    em = rows.rn.eff_mass
+    base_dist = rows.base_dist
 
     def body(_, carry):
         dpos, dang = carry
-        # current separation: base + normal-projected relative correction,
-        # including the lever rotation first-order term (dang x r)
-        corr_rel = (dpos[a] + jnp.cross(dang[a], rA)
-                    - dpos[b] - jnp.cross(dang[b], rB))
+        corr_rel = (dpos[a] + vec.cross(dang[a], rA)
+                    - dpos[b] - vec.cross(dang[b], rB))
         dist = base_dist + vec.dot(corr_rel, n)
-        # clamp per-iteration error like Box2D's b2_maxLinearCorrection so the
-        # linearization stays in its validity range (also bounds feedback for
-        # thin bodies with large angular compliance)
         error = jnp.clip(-dist, 0.0, MAX_CORRECTION)
         lam = jnp.where(valid, error * CONTACT_POSITION_CORRECTION_RATE * em,
                         0.0)[:, None]
@@ -93,8 +58,8 @@ def solve_positions(state, man, num_iterations: int):
 
     zero = jnp.zeros_like(state.pos)
     dpos, dang = jax.lax.fori_loop(0, num_iterations, body, (zero, zero))
-    # bound the per-step angular correction — beyond this the linearization
-    # is invalid and applying it adds energy
+    # bound the per-step correction — beyond this the linearization is
+    # invalid and applying it adds energy
     dang = vec.clamp_length(dang, 0.2)
     dpos = vec.clamp_length(dpos, 3 * MAX_CORRECTION)
     return dataclasses.replace(

@@ -106,6 +106,10 @@ class ContactRows:
     # kept for the position solver / diagnostics
     rA: jnp.ndarray
     rB: jnp.ndarray
+    # compaction: which flattened manifold point slot (m*4+p) each row came
+    # from (for writing impulses back); padding rows point past the end
+    row_slot: jnp.ndarray  # [R] int32
+    base_dist: jnp.ndarray  # [R] step-start separation (position solver)
 
 
 def degree_counts(N, idx_list, valid_list):
@@ -126,8 +130,8 @@ def eff_mass_of(Jl_a, Ja_a, Jl_b, Ja_b, inv_mA, inv_IA, inv_mB, inv_IB):
 
 
 def _make_dir(d, rA, rB, inv_mA, inv_IA, inv_mB, inv_IB, degA, degB):
-    JaA = jnp.cross(rA, d)
-    JaB = -jnp.cross(rB, d)
+    JaA = vec.cross(rA, d)
+    JaB = -vec.cross(rB, d)
     tA = jnp.einsum("...ij,...j->...i", inv_IA, JaA)
     tB = jnp.einsum("...ij,...j->...i", inv_IB, JaB)
     # mass splitting scales only the eff-mass denominator
@@ -139,20 +143,41 @@ def _make_dir(d, rA, rB, inv_mA, inv_IA, inv_mB, inv_IB, degA, degB):
 
 def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
                        mass_splitting: bool = True,
-                       with_spin_roll: bool = True) -> ContactRows:
+                       with_spin_roll: bool = True,
+                       max_rows: int | None = None) -> ContactRows:
+    """Rows are COMPACTED to the actual touching points (the manifold table is
+    padded [M,4]; real contacts are usually a small fraction), so every solver
+    phase scales with live contacts instead of capacity. ``row_slot`` maps
+    each row back to its manifold point for impulse writeback."""
     M, P = man.point_valid.shape
-    R = M * P
-    flat = lambda x: x.reshape((R,) + x.shape[2:])
+    Rfull = M * P
+    flat0 = lambda x: x.reshape((Rfull,) + x.shape[2:])
 
-    a = flat(jnp.broadcast_to(man.body_a[:, None], (M, P)))
-    b = flat(jnp.broadcast_to(man.body_b[:, None], (M, P)))
-    valid = flat(man.point_valid & man.valid[:, None])
-
+    a0 = flat0(jnp.broadcast_to(man.body_a[:, None], (M, P)))
+    b0 = flat0(jnp.broadcast_to(man.body_b[:, None], (M, P)))
+    valid0 = flat0(man.point_valid & man.valid[:, None])
     # responsive only when both bodies have a material (sensors don't push;
     # reference: collision_util chooses null_constraint when material absent)
-    valid &= state.has_material[a] & state.has_material[b]
+    valid0 &= state.has_material[a0] & state.has_material[b0]
     # skip rows whose bodies are all asleep (islands woke mixed pairs already)
-    valid &= ~(state.asleep[a] & state.asleep[b])
+    valid0 &= ~(state.asleep[a0] & state.asleep[b0])
+
+    R = max_rows or Rfull
+    if R < Rfull:
+        from ..collision.broadphase import _compact
+        row_slot, _cnt = _compact(valid0, R)
+        slot_ok = row_slot >= 0
+        row_slot = jnp.where(slot_ok, row_slot, Rfull - 1).astype(jnp.int32)
+        flat = lambda x: flat0(x)[row_slot]
+        valid = valid0[row_slot] & slot_ok
+        a = a0[row_slot]
+        b = b0[row_slot]
+    else:
+        row_slot = jnp.arange(Rfull, dtype=jnp.int32)
+        flat = flat0
+        valid = valid0
+        a = a0
+        b = b0
 
     orn_a = state.orn[a]
     orn_b = state.orn[b]
@@ -267,6 +292,7 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
                        n=n, t1=t1, t2=t2, rn=rn, r1=r1, r2=r2,
                        friction=friction, restitution=restit_mix,
                        upper_n=upper_n, soft=soft,
+                       row_slot=row_slot, base_dist=dist,
                        spin_friction=spin_fr, roll_friction=roll_fr,
                        sA_n=sA_n, sB_n=sB_n, sA_t1=sA_t1, sB_t1=sB_t1,
                        sA_t2=sA_t2, sB_t2=sB_t2,
@@ -283,8 +309,7 @@ def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
     a, b = rows.a, rows.b
     va, wa = state.linvel[a], state.angvel[a]
     vb, wb = state.linvel[b], state.angvel[b]
-    M, P = man.point_valid.shape
-    dist = man.distance.reshape(M * P)
+    dist = rows.base_dist
     error = jnp.where(dist > 0, dist / dt, 0.0)
     restitution = 0.0 if use_restitution_solver else rows.restitution
 

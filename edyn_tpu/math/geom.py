@@ -198,13 +198,13 @@ def intersect_segment_triangle(p0, d, a, b, c):
     (reference: include/edyn/math/geom.hpp:411 intersect_segment_triangle)."""
     e1 = b - a
     e2 = c - a
-    h = jnp.cross(d, e2)
+    h = vec.cross(d, e2)
     det = vec.dot(e1, h)
     ok = jnp.abs(det) > EPS
     inv = 1.0 / jnp.where(ok, det, 1.0)
     s = p0 - a
     u = vec.dot(s, h) * inv
-    q = jnp.cross(s, e1)
+    q = vec.cross(s, e1)
     v = vec.dot(d, q) * inv
     t = vec.dot(e2, q) * inv
     hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t >= 0)

@@ -42,8 +42,8 @@ def rotate(q, v):
     (reference: include/edyn/math/quaternion.hpp rotate)."""
     u = q[..., :3]
     w = q[..., 3:4]
-    t = 2.0 * jnp.cross(u, v)
-    return v + w * t + jnp.cross(u, t)
+    t = 2.0 * vec.cross(u, v)
+    return v + w * t + vec.cross(u, t)
 
 
 def rotate_inv(q, v):

@@ -17,7 +17,13 @@ def dot(a, b):
 
 
 def cross(a, b):
-    return jnp.cross(a, b)
+    """Component-form cross product — measurably faster than jnp.cross on TPU
+    (avoids its roll-based lowering)."""
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    return jnp.stack([ay * bz - az * by,
+                      az * bx - ax * bz,
+                      ax * by - ay * bx], axis=-1)
 
 
 def length_sqr(v):

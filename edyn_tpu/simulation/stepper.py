@@ -42,6 +42,9 @@ class SceneMeta:
     bucket_cap: int | None = None
     island_iters: int = 8
     broadphase_block: int = 256
+    # contact-row budget: rows are compacted to live contacts (manifolds are
+    # padded x4); None = no compaction
+    max_rows: int | None = None
     # static scene fact: any spin/rolling-friction materials present (skips
     # the spin/roll row machinery entirely when False)
     has_spin_roll: bool = True
@@ -101,7 +104,7 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     use_rest = settings.num_restitution_iterations > 0
     rows = solver_mod.build_contact_rows(state, man, dt, use_rest,
                                          settings.mass_splitting,
-                                         meta.has_spin_roll)
+                                         meta.has_spin_roll, meta.max_rows)
 
     # --- restitution pre-pass (before gravity; reference solver.cpp:387-400) ---
     if use_rest:
@@ -122,10 +125,11 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     dv = jnp.zeros((N, 3))
     dw = jnp.zeros((N, 3))
     M, P = man.point_valid.shape
-    n_imp = man.normal_impulse.reshape(-1)
-    f_imp = man.friction_impulse.reshape(-1, 2)
-    s_imp = man.spin_impulse.reshape(-1)
-    r_imp = man.roll_impulse.reshape(-1, 2)
+    slot = rows.row_slot
+    n_imp = man.normal_impulse.reshape(-1)[slot]
+    f_imp = man.friction_impulse.reshape(-1, 2)[slot]
+    s_imp = man.spin_impulse.reshape(-1)[slot]
+    r_imp = man.roll_impulse.reshape(-1, 2)[slot]
     dv, dw = solver_mod.warm_start_contacts(rows, n_imp, f_imp, s_imp, r_imp,
                                             dv, dw)
     j_imp = state.joints.impulses
@@ -143,21 +147,29 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
         (n_imp, f_imp, s_imp, r_imp, j_imp, dv, dw))
 
     # store applied impulses for next-step warm starting (reference:
-    # island_solver.cpp assign_applied_impulses)
+    # island_solver.cpp assign_applied_impulses); scatter back through the
+    # row compaction map
+    def writeback(col, vals):
+        flatc = col.reshape((M * P,) + col.shape[2:])
+        flatc = flatc.at[slot].set(jnp.where(
+            rows.valid.reshape((-1,) + (1,) * (vals.ndim - 1)), vals,
+            flatc[slot]), mode="drop")
+        return flatc.reshape(col.shape)
+
     man = dataclasses.replace(
         man,
-        normal_impulse=n_imp.reshape(M, P),
-        friction_impulse=f_imp.reshape(M, P, 2),
-        spin_impulse=s_imp.reshape(M, P),
-        roll_impulse=r_imp.reshape(M, P, 2))
+        normal_impulse=writeback(man.normal_impulse, n_imp),
+        friction_impulse=writeback(man.friction_impulse, f_imp),
+        spin_impulse=writeback(man.spin_impulse, s_imp),
+        roll_impulse=writeback(man.roll_impulse, r_imp))
     joints = dataclasses.replace(state.joints, impulses=j_imp)
     state = dataclasses.replace(state, contacts=man, joints=joints)
 
     # --- integrate ---
     state = integrate_velocities(state, dv, dw, dt)
 
-    # --- position correction ---
-    state = solve_positions(state, man, settings.num_solver_position_iterations)
+    # --- position correction (reuses the compacted contact rows) ---
+    state = solve_positions(state, rows, settings.num_solver_position_iterations)
 
     return dataclasses.replace(
         state,

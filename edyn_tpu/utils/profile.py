@@ -103,7 +103,7 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
     rows = timed("prepare_constraints", jax.jit(
         lambda s, m: sm.build_contact_rows(
             s, m, S.fixed_dt, S.num_restitution_iterations > 0,
-            S.mass_splitting, meta.has_spin_roll)), st, man)
+            S.mass_splitting, meta.has_spin_roll, meta.max_rows)), st, man)
     if S.num_restitution_iterations > 0:
         timed("restitution", jax.jit(
             lambda s, r: sm.solve_restitution(
@@ -122,8 +122,8 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
 
     timed("solve", jax.jit(vel), rows, st)
     timed("position_correction", jax.jit(
-        lambda s, m: solve_positions(s, m, S.num_solver_position_iterations)),
-        st, man)
+        lambda s, r: solve_positions(s, r, S.num_solver_position_iterations)),
+        st, rows)
 
     from ..simulation.stepper import physics_step
     s0 = physics_step(world.state, S, meta)

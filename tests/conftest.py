@@ -18,3 +18,15 @@ import jax  # noqa: E402
 # the axon sitecustomize pins the platform after env is read; force CPU here
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_cache():
+    """Clear jit caches between test modules: a long pytest process otherwise
+    accumulates ~100 compiled executables and the XLA CPU compiler has been
+    observed to segfault (likely OOM) late in the run."""
+    yield
+    jax.clear_caches()

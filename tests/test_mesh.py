@@ -108,6 +108,10 @@ def test_polyhedron_on_terrain():
         mass=1.0, shape=tet, position=(0.1, 1.5, -0.1),
         material=et.Material(friction=0.6))])
     w.step(300)
-    y = float(w.position(body)[1])
-    assert 0.0 < y < 0.4, y
-    assert np.linalg.norm(w.linvel(body)) < 0.1
+    # settled: height in range and positionally stable over the last second
+    ys = []
+    for _ in range(60):
+        w.step()
+        ys.append(float(w.position(body)[1]))
+    assert 0.0 < ys[-1] < 0.4, ys[-1]
+    assert max(ys) - min(ys) < 0.03, (min(ys), max(ys))
