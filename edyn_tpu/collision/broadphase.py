@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..shapes.params import ShapeType
 from ..core.state import KIND_DYNAMIC
@@ -82,15 +83,42 @@ def find_pairs(state, max_pairs: int, block: int = 256,
     idx = jnp.arange(N)
 
     if N <= DENSE_LIMIT:
-        # one-shot dense path: a single fused mask + one compaction
+        # one-shot dense path: a single fused mask, then GATHER-based
+        # compaction — a flat scatter/cumsum over the N^2 mask would process
+        # 1e8 scatter updates (the dominant cost at 10k bodies); instead we
+        # take row counts + a per-row running count and binary-search each of
+        # the max_pairs output slots to its (row, column) with ~14 cheap
+        # gather rounds.
         m = _pair_filters(state, idx, idx)
         if should_collide_fn is not None:
             m &= should_collide_fn(state, idx, idx)
         m &= _overlap(state, idx, idx)
-        flat = m.reshape(-1)
-        loc, total = _compact(flat, max_pairs)
-        keys = jnp.where(loc >= 0, loc, INVALID_KEY).astype(jnp.int32)
-        # ascending locations => keys already sorted
+
+        row_cum = jnp.cumsum(m.astype(jnp.int32), axis=1)     # [N,N] inclusive
+        row_counts = row_cum[:, -1]                           # [N]
+        offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(row_counts)])   # [N+1]
+        total = offsets[-1]
+
+        k = jnp.arange(max_pairs, dtype=jnp.int32)
+        in_range = k < total
+        i_row = (jnp.searchsorted(offsets, k, side="right") - 1).astype(jnp.int32)
+        i_row = jnp.clip(i_row, 0, N - 1)
+        rank = k - offsets[i_row] + 1                          # 1-based in row
+
+        # binary search the first column with row_cum[i, j] >= rank
+        lo = jnp.zeros_like(k)
+        hi = jnp.full_like(k, N - 1)
+        for _ in range(int(np.ceil(np.log2(max(N, 2)))) + 1):
+            mid = (lo + hi) // 2
+            val = row_cum[i_row, mid]
+            go_right = val < rank
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right, hi, mid)
+        j_col = jnp.clip(lo, 0, N - 1)
+
+        keys = jnp.where(in_range, i_row * N + j_col,
+                         INVALID_KEY).astype(jnp.int32)
         dropped = jnp.maximum(total - max_pairs, 0)
     else:
         n_blocks = -(-N // block)
