@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_STEPS_PER_SEC = 20.0  # see BASELINE.md — estimated, not published
 N_BODIES = int(os.environ.get("BENCH_BODIES", 10_000))
-N_STEPS = int(os.environ.get("BENCH_STEPS", 60))
+N_STEPS = int(os.environ.get("BENCH_STEPS", 30))
 
 
 def main():
