@@ -100,21 +100,29 @@ def find_pairs(state, max_pairs: int, block: int = 256,
                                    jnp.cumsum(row_counts)])   # [N+1]
         total = offsets[-1]
 
+        from ..ops.search import kary_searchsorted
         k = jnp.arange(max_pairs, dtype=jnp.int32)
         in_range = k < total
-        i_row = (jnp.searchsorted(offsets, k, side="right") - 1).astype(jnp.int32)
+        i_row = kary_searchsorted(offsets, k, side="right") - 1
         i_row = jnp.clip(i_row, 0, N - 1)
         rank = k - offsets[i_row] + 1                          # 1-based in row
 
-        # binary search the first column with row_cum[i, j] >= rank
+        # k-ary search the first column with row_cum[i, j] >= rank (one
+        # [max_pairs, K-1] gather per round instead of one per binary probe)
+        KARY = 8
+        offs = jnp.arange(1, KARY, dtype=jnp.int32)
         lo = jnp.zeros_like(k)
-        hi = jnp.full_like(k, N - 1)
-        for _ in range(int(np.ceil(np.log2(max(N, 2)))) + 1):
-            mid = (lo + hi) // 2
-            val = row_cum[i_row, mid]
-            go_right = val < rank
-            lo = jnp.where(go_right, mid + 1, lo)
-            hi = jnp.where(go_right, hi, mid)
+        width = N
+        while width >= 1:
+            step = -(-width // KARY)
+            t = lo[:, None] + offs * jnp.int32(step) - 1
+            ok = t < N
+            vals = row_cum[i_row[:, None], jnp.minimum(t, N - 1)]
+            cnt = jnp.sum((vals < rank[:, None]) & ok, axis=-1).astype(jnp.int32)
+            lo = lo + cnt * step
+            if width == 1:
+                break
+            width = step
         j_col = jnp.clip(lo, 0, N - 1)
 
         keys = jnp.where(in_range, i_row * N + j_col,

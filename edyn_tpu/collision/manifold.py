@@ -28,32 +28,44 @@ from .broadphase import INVALID_KEY
 def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid) -> ContactTable:
     """Build this step's manifold table in broadphase-pair order, gathering
     persistent state (points, impulses, lifetimes) from the previous table for
-    pairs that already existed."""
-    idx = jnp.searchsorted(old.key, keys)
+    pairs that already existed.
+
+    Dispatch design: the key match uses the unrolled k-ary search (one gather
+    per round instead of jnp.searchsorted's ~log2(M)-dispatch while-loop),
+    and all persistent per-point columns are packed into one [M,4,17] array
+    so the carry costs ONE large gather. Every default is zero, so the
+    unmatched case is a multiply by the match mask."""
+    from ..ops.search import kary_searchsorted
+    idx = kary_searchsorted(old.key, keys, side="left")
     idx = jnp.clip(idx, 0, old.key.shape[0] - 1)
     matched = (old.key[idx] == keys) & pair_valid & old.valid[idx]
 
-    def take(field, default):
-        o = getattr(old, field)[idx]
-        m = matched.reshape((-1,) + (1,) * (o.ndim - 1))
-        return jnp.where(m, o, default)
+    f = lambda x: x.astype(jnp.float32)[..., None]
+    pk = jnp.concatenate([
+        old.pivot_a, old.pivot_b, old.local_normal,       # 0:3, 3:6, 6:9
+        f(old.normal_attachment), f(old.distance),        # 9, 10
+        f(old.lifetime), f(old.normal_impulse),           # 11, 12
+        old.friction_impulse, f(old.spin_impulse),        # 13:15, 15
+        old.roll_impulse, f(old.point_valid),             # 16:18, 18
+    ], axis=-1)
+    g = jnp.where(matched[:, None, None], pk[idx], 0.0)
 
     return ContactTable(
         key=keys,
         body_a=body_a.astype(jnp.int32),
         body_b=body_b.astype(jnp.int32),
         valid=pair_valid,
-        point_valid=take("point_valid", False),
-        pivot_a=take("pivot_a", 0.0),
-        pivot_b=take("pivot_b", 0.0),
-        local_normal=take("local_normal", 0.0),
-        normal_attachment=take("normal_attachment", 0),
-        distance=take("distance", 0.0),
-        lifetime=take("lifetime", 0),
-        normal_impulse=take("normal_impulse", 0.0),
-        friction_impulse=take("friction_impulse", 0.0),
-        spin_impulse=take("spin_impulse", 0.0),
-        roll_impulse=take("roll_impulse", 0.0),
+        point_valid=g[..., 18] > 0.5,
+        pivot_a=g[..., 0:3],
+        pivot_b=g[..., 3:6],
+        local_normal=g[..., 6:9],
+        normal_attachment=g[..., 9].astype(jnp.int32),
+        distance=g[..., 10],
+        lifetime=g[..., 11].astype(jnp.int32),
+        normal_impulse=g[..., 12],
+        friction_impulse=g[..., 13:15],
+        spin_impulse=g[..., 15],
+        roll_impulse=g[..., 16:18],
     )
 
 
@@ -77,14 +89,18 @@ def merge_points(man: ContactTable, new_pivot_a, new_pivot_b, new_local_normal,
     best_d2 = jnp.take_along_axis(d2, best[..., None], axis=-1)[..., 0]
     inherit = new_point_valid & (best_d2 < thr2)
 
-    def gather_old(x):
-        return jnp.take_along_axis(x, best.reshape(best.shape + (1,) * (x.ndim - 2)), axis=1)
-
-    lifetime = jnp.where(inherit, gather_old(man.lifetime) + 1, 0)
-    n_imp = jnp.where(inherit, gather_old(man.normal_impulse), 0.0)
-    f_imp = jnp.where(inherit[..., None], gather_old(man.friction_impulse), 0.0)
-    s_imp = jnp.where(inherit, gather_old(man.spin_impulse), 0.0)
-    r_imp = jnp.where(inherit[..., None], gather_old(man.roll_impulse), 0.0)
+    # persistent per-point payload packed [M,4,7] -> ONE take_along_axis
+    f = lambda x: x.astype(jnp.float32)[..., None]
+    pk = jnp.concatenate([
+        f(man.lifetime), f(man.normal_impulse), man.friction_impulse,
+        f(man.spin_impulse), man.roll_impulse], axis=-1)
+    g = jnp.take_along_axis(pk, best[..., None], axis=1)
+    g = jnp.where(inherit[..., None], g, 0.0)
+    lifetime = jnp.where(inherit, g[..., 0].astype(jnp.int32) + 1, 0)
+    n_imp = g[..., 1]
+    f_imp = g[..., 2:4]
+    s_imp = g[..., 4]
+    r_imp = g[..., 5:7]
 
     return dataclasses.replace(
         man,

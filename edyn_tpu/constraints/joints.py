@@ -51,6 +51,7 @@ class JointRows:
     valid: jnp.ndarray
     a: jnp.ndarray
     b: jnp.ndarray
+    ab: jnp.ndarray    # [2R] concat(a, b) — single gather/scatter index
     JlA: jnp.ndarray   # [R,3]
     JaA: jnp.ndarray
     JlB: jnp.ndarray
@@ -307,34 +308,37 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
             + vec.dot(fJlB, fJlB) * inv_mB * degB + vec.dot(tB, fJaB) * degB)
     em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
     return JointRows(
-        valid=valid_r, a=a_r, b=b_r,
+        valid=valid_r, a=a_r, b=b_r, ab=jnp.concatenate([a_r, b_r]),
         JlA=fJlA, JaA=fJaA, JlB=fJlB, JaB=fJaB,
         inv_mA=inv_mA, inv_mB=inv_mB, tA=tA, tB=tB,
         eff_mass=em, rhs=flat(rhs), lower=flat(lower), upper=flat(upper))
 
 
-def _apply(rows: JointRows, dlam, dv, dw):
-    dlam = jnp.where(rows.valid, dlam, 0.0)
-    dv = dv.at[rows.a].add(rows.inv_mA[:, None] * rows.JlA * dlam[:, None])
-    dw = dw.at[rows.a].add(rows.tA * dlam[:, None])
-    dv = dv.at[rows.b].add(rows.inv_mB[:, None] * rows.JlB * dlam[:, None])
-    dw = dw.at[rows.b].add(rows.tB * dlam[:, None])
-    return dv, dw
+def _apply(rows: JointRows, dlam, dvw):
+    from ..dynamics.solver import scatter_add_ab
+    dlam = jnp.where(rows.valid, dlam, 0.0)[:, None]
+    return scatter_add_ab(dvw, rows.ab,
+                          rows.inv_mA[:, None] * rows.JlA * dlam,
+                          rows.tA * dlam,
+                          rows.inv_mB[:, None] * rows.JlB * dlam,
+                          rows.tB * dlam)
 
 
-def warm_start_joints(rows: JointRows, impulses, dv, dw):
-    return _apply(rows, impulses.reshape(-1), dv, dw)
+def warm_start_joints(rows: JointRows, impulses, dvw):
+    return _apply(rows, impulses.reshape(-1), dvw)
 
 
-def solve_joints_once(rows: JointRows, impulses, dv, dw):
+def solve_joints_once(rows: JointRows, impulses, dvw):
+    from ..dynamics.solver import gather_ab
     imp = impulses.reshape(-1)
-    drel = (vec.dot(rows.JlA, dv[rows.a]) + vec.dot(rows.JaA, dw[rows.a])
-            + vec.dot(rows.JlB, dv[rows.b]) + vec.dot(rows.JaB, dw[rows.b]))
+    dva, dwa, dvb, dwb = gather_ab(dvw, rows.ab)
+    drel = (vec.dot(rows.JlA, dva) + vec.dot(rows.JaA, dwa)
+            + vec.dot(rows.JlB, dvb) + vec.dot(rows.JaB, dwb))
     dlam = (rows.rhs - drel) * rows.eff_mass
     new = jnp.clip(imp + dlam, rows.lower, rows.upper)
     dlam = new - imp
-    dv, dw = _apply(rows, dlam, dv, dw)
-    return new.reshape(impulses.shape), dv, dw
+    dvw = _apply(rows, dlam, dvw)
+    return new.reshape(impulses.shape), dvw
 
 
 def apply_gravity_joints(state, dt: float):

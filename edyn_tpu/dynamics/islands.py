@@ -47,12 +47,16 @@ def compute_islands(state, man, num_iters: int = 16):
     ev = jnp.concatenate([cv, jv])
     big = jnp.int32(N)
 
+    # dispatch-lean iteration: both endpoints gathered/scattered through ONE
+    # concatenated index vector; the masked scatter index is loop-invariant
+    E = ea.shape[0]
+    eab = jnp.concatenate([ea, eb])
+    evv = jnp.concatenate([ev, ev])
+    idx_safe = jnp.where(evv, eab, 0)
     for _ in range(num_iters):
-        la = labels[ea]
-        lb = labels[eb]
-        m = jnp.where(ev, jnp.minimum(la, lb), big)
-        labels = labels.at[jnp.where(ev, ea, 0)].min(m)
-        labels = labels.at[jnp.where(ev, eb, 0)].min(m)
+        l2 = labels[eab]
+        m = jnp.where(ev, jnp.minimum(l2[:E], l2[E:]), big)
+        labels = labels.at[idx_safe].min(jnp.concatenate([m, m]))
         labels = jnp.minimum(labels, labels[labels])  # pointer jumping
     return labels
 
@@ -81,14 +85,15 @@ def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 16):
     # kinematic neighbors that are moving keep the island awake (reference:
     # kinematic motion wakes touching islands)
     kin_moving = state.is_kinematic & ~(lin_ok & ang_ok)
-    for a, b, valid in ((man.body_a, man.body_b, man.valid),
-                        (state.joints.body_a, state.joints.body_b, state.joints.valid)):
-        la = labels[a]
-        lb = labels[b]
-        wake_b = valid & kin_moving[a] & dyn[b]
-        wake_a = valid & kin_moving[b] & dyn[a]
-        island_ok = island_ok.at[jnp.where(wake_b, lb, 0)].min(~wake_b)
-        island_ok = island_ok.at[jnp.where(wake_a, la, 0)].min(~wake_a)
+    ea = jnp.concatenate([man.body_a, state.joints.body_a])
+    eb = jnp.concatenate([man.body_b, state.joints.body_b])
+    ev = jnp.concatenate([man.valid, state.joints.valid])
+    # both directions through one concatenated index: edge (this -> other)
+    e_this = jnp.concatenate([ea, eb])
+    e_other = jnp.concatenate([eb, ea])
+    evv = jnp.concatenate([ev, ev])
+    wake = evv & kin_moving[e_this] & dyn[e_other]
+    island_ok = island_ok.at[jnp.where(wake, labels[e_other], 0)].min(~wake)
 
     my_ok = island_ok[labels] & dyn
     timer = jnp.where(my_ok, state.sleep_timer + dt, 0.0)

@@ -42,22 +42,21 @@ def solve_positions(state, rows, num_iterations: int):
     em = rows.rn.eff_mass
     base_dist = rows.base_dist
 
-    def body(_, carry):
-        dpos, dang = carry
-        corr_rel = (dpos[a] + vec.cross(dang[a], rA)
-                    - dpos[b] - vec.cross(dang[b], rB))
+    from .solver import gather_ab, scatter_add_ab
+
+    def body(_, dpq):
+        dpa, daa, dpb, dab_ = gather_ab(dpq, rows.ab)
+        corr_rel = (dpa + vec.cross(daa, rA) - dpb - vec.cross(dab_, rB))
         dist = base_dist + vec.dot(corr_rel, n)
         error = jnp.clip(-dist, 0.0, MAX_CORRECTION)
         lam = jnp.where(valid, error * CONTACT_POSITION_CORRECTION_RATE * em,
                         0.0)[:, None]
-        dpos = dpos.at[a].add(inv_mA[:, None] * n * lam)
-        dpos = dpos.at[b].add(inv_mB[:, None] * -n * lam)
-        dang = dang.at[a].add(tA * lam)
-        dang = dang.at[b].add(tB * lam)
-        return dpos, dang
+        return scatter_add_ab(dpq, rows.ab, inv_mA[:, None] * n * lam,
+                              tA * lam, inv_mB[:, None] * -n * lam, tB * lam)
 
-    zero = jnp.zeros_like(state.pos)
-    dpos, dang = jax.lax.fori_loop(0, num_iterations, body, (zero, zero))
+    N = state.pos.shape[0]
+    dpq = jax.lax.fori_loop(0, num_iterations, body, jnp.zeros((N, 6)))
+    dpos, dang = dpq[:, 0:3], dpq[:, 3:6]
     # bound the per-step correction — beyond this the linearization is
     # invalid and applying it adds energy
     dang = vec.clamp_length(dang, 0.2)

@@ -25,11 +25,20 @@ split copies of the body and averaging. Islands need no bookkeeping because
 disjoint islands never share bodies and solve independently inside the same
 batched iteration.
 
-Bandwidth design: the per-row Jacobians and their inertia-applied
-counterparts (t = I^-1 (r x d)) are precomputed once per step, so each solver
-iteration touches only [R,3] vectors — no 3x3 matrix reads in the hot loop
-(the reference does the same: constraint_row stores J and inv_I once,
-constraint_row.hpp:20-52).
+Dispatch design (the TPU runtime charges per kernel launch, so the hot loop
+is built around ONE gather and ONE scatter per iteration):
+
+- body velocity deltas live in a packed [N,6] array (linear 0:3, angular
+  3:6); the per-iteration reads of both endpoints of every row are a single
+  gather through the precomputed concatenated index vector ``rows.ab`` =
+  [a; b], and all six constraint directions' impulses are applied with a
+  single scatter-add of a packed [2R,6] update.
+- per-body inputs to row building (orientation, velocity, inverse mass and
+  world inertia, material columns) are packed once per step into a [N,30]
+  "solver view" (pack_solver_view), so preparing R rows costs one [2R,30]
+  gather instead of ~30 column gathers.
+- per-point manifold inputs are packed [M,4,12] and gathered through the
+  compaction map in one go; impulse writeback is one packed [R,6] scatter.
 """
 from __future__ import annotations
 
@@ -70,6 +79,7 @@ class ContactRows:
     valid: jnp.ndarray    # [R] bool
     a: jnp.ndarray        # [R] int32
     b: jnp.ndarray        # [R]
+    ab: jnp.ndarray       # [2R] = concat(a, b) — single-gather/scatter index
     inv_mA: jnp.ndarray   # [R]
     inv_mB: jnp.ndarray
     n: jnp.ndarray        # [R,3] world normal (B -> A)
@@ -110,6 +120,54 @@ class ContactRows:
     # from (for writing impulses back); padding rows point past the end
     row_slot: jnp.ndarray  # [R] int32
     base_dist: jnp.ndarray  # [R] step-start separation (position solver)
+    # per-tri material scale is folded into friction/restitution already
+
+
+# ---------------------------------------------------------------------------
+# packed gather/scatter helpers (the per-iteration dispatch budget)
+# ---------------------------------------------------------------------------
+
+def gather_ab(dvw, ab):
+    """One gather of both endpoints' packed [lin, ang] state for every row.
+    Returns (lin_a, ang_a, lin_b, ang_b), each [R,3]."""
+    g = dvw[ab]
+    R = ab.shape[0] // 2
+    return g[:R, 0:3], g[:R, 3:6], g[R:, 0:3], g[R:, 3:6]
+
+
+def scatter_add_ab(dvw, ab, lin_a, ang_a, lin_b, ang_b):
+    """One scatter-add applying every row's packed impulse to both bodies."""
+    ua = jnp.concatenate([lin_a, ang_a], axis=1)
+    ub = jnp.concatenate([lin_b, ang_b], axis=1)
+    return dvw.at[ab].add(jnp.concatenate([ua, ub], axis=0))
+
+
+def pack_solver_view(state):
+    """[N,30] per-body inputs for row building — ONE gather per row side.
+
+    Layout: orn 0:4 | linvel 4:7 | angvel 7:10 | inv_m 10 | inv_I world 11:20
+    | friction 20 | restitution 21 | spin_f 22 | roll_f 23 | stiffness 24 |
+    damping 25 | material_id 26 | has_material 27 | asleep 28 | pad 29."""
+    N = state.capacity
+    Iw = state.inertia_world_inv().reshape(N, 9)
+    f = lambda x: x.astype(jnp.float32)[:, None]
+    return jnp.concatenate([
+        state.orn, state.linvel, state.angvel, f(state.mass_inv), Iw,
+        f(state.friction), f(state.restitution), f(state.spin_friction),
+        f(state.roll_friction), f(state.stiffness), f(state.damping),
+        f(state.material_id), f(state.has_material), f(state.asleep),
+        jnp.zeros((N, 1), jnp.float32),
+    ], axis=1)
+
+
+def pack_manifold_points(man):
+    """[M,4,12] per-point narrowphase outputs: pivot_a 0:3 | pivot_b 3:6 |
+    local_normal 6:9 | attachment 9 | distance 10 | point_valid 11."""
+    f = lambda x: x.astype(jnp.float32)[..., None]
+    return jnp.concatenate([
+        man.pivot_a, man.pivot_b, man.local_normal,
+        f(man.normal_attachment), f(man.distance), f(man.point_valid),
+    ], axis=-1)
 
 
 def degree_counts(N, idx_list, valid_list):
@@ -151,16 +209,16 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
     each row back to its manifold point for impulse writeback."""
     M, P = man.point_valid.shape
     Rfull = M * P
-    flat0 = lambda x: x.reshape((Rfull,) + x.shape[2:])
 
-    a0 = flat0(jnp.broadcast_to(man.body_a[:, None], (M, P)))
-    b0 = flat0(jnp.broadcast_to(man.body_b[:, None], (M, P)))
-    valid0 = flat0(man.point_valid & man.valid[:, None])
-    # responsive only when both bodies have a material (sensors don't push;
-    # reference: collision_util chooses null_constraint when material absent)
-    valid0 &= state.has_material[a0] & state.has_material[b0]
-    # skip rows whose bodies are all asleep (islands woke mixed pairs already)
-    valid0 &= ~(state.asleep[a0] & state.asleep[b0])
+    # pair-level eligibility on [M] (body code packs has_material + asleep so
+    # both pair sides cost one tiny gather each)
+    code = (state.has_material.astype(jnp.int32)
+            + state.asleep.astype(jnp.int32) * 2)
+    ca = code[man.body_a]
+    cb = code[man.body_b]
+    elig = man.valid & ((ca & 1) > 0) & ((cb & 1) > 0) \
+        & ~(((ca & 2) > 0) & ((cb & 2) > 0))
+    valid0 = (man.point_valid & elig[:, None]).reshape(Rfull)
 
     R = max_rows or Rfull
     if R < Rfull:
@@ -168,44 +226,51 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
         row_slot, _cnt = _compact(valid0, R)
         slot_ok = row_slot >= 0
         row_slot = jnp.where(slot_ok, row_slot, Rfull - 1).astype(jnp.int32)
-        flat = lambda x: flat0(x)[row_slot]
         valid = valid0[row_slot] & slot_ok
-        a = a0[row_slot]
-        b = b0[row_slot]
     else:
         row_slot = jnp.arange(Rfull, dtype=jnp.int32)
-        flat = flat0
         valid = valid0
-        a = a0
-        b = b0
 
-    orn_a = state.orn[a]
-    orn_b = state.orn[b]
-    attach = flat(man.normal_attachment)
-    ln = flat(man.local_normal)
+    pair_idx = row_slot // P
+    ab_pair = jnp.stack([man.body_a, man.body_b], axis=1)[pair_idx]  # [R,2]
+    a = ab_pair[:, 0]
+    b = ab_pair[:, 1]
+    ab = jnp.concatenate([a, b])
+
+    # one gather for all per-point inputs
+    pt = pack_manifold_points(man).reshape(Rfull, 12)[row_slot]
+    pa_l = pt[:, 0:3]
+    pb_l = pt[:, 3:6]
+    ln = pt[:, 6:9]
+    attach = pt[:, 9].astype(jnp.int32)
+    dist = pt[:, 10]
+
+    # one gather for all per-body inputs
+    g = pack_solver_view(state)[ab]                 # [2R,30]
+    ga, gb = g[:R], g[R:]
+    orn_a, orn_b = ga[:, 0:4], gb[:, 0:4]
+    va, wa = ga[:, 4:7], ga[:, 7:10]
+    vb, wb = gb[:, 4:7], gb[:, 7:10]
+    inv_mA = jnp.where(valid, ga[:, 10], 0.0)
+    inv_mB = jnp.where(valid, gb[:, 10], 0.0)
+    inv_IA = ga[:, 11:20].reshape(R, 3, 3) * valid[:, None, None]
+    inv_IB = gb[:, 11:20].reshape(R, 3, 3) * valid[:, None, None]
+
     n = jnp.where((attach == 1)[:, None], quat.rotate(orn_a, ln),
                   jnp.where((attach == 2)[:, None], quat.rotate(orn_b, ln), ln))
-
-    rA = quat.rotate(orn_a, flat(man.pivot_a))
-    rB = quat.rotate(orn_b, flat(man.pivot_b))
-
-    inv_mA = jnp.where(valid, state.mass_inv[a], 0.0)
-    inv_mB = jnp.where(valid, state.mass_inv[b], 0.0)
-    Iw = state.inertia_world_inv()
-    inv_IA = Iw[a] * valid[:, None, None]
-    inv_IB = Iw[b] * valid[:, None, None]
+    rA = quat.rotate(orn_a, pa_l)
+    rB = quat.rotate(orn_b, pb_l)
 
     if mass_splitting:
-        deg = degree_counts(state.capacity, [a, b], [valid, valid])
-        degA = deg[a]
-        degB = deg[b]
+        v2 = valid.astype(jnp.float32)
+        deg = jnp.full((state.capacity,), 1.0).at[ab].add(
+            jnp.concatenate([v2, v2]), mode="drop")
+        dg = jnp.maximum(deg[ab] - 1.0, 1.0)
+        degA, degB = dg[:R], dg[R:]
     else:
         degA = degB = jnp.ones_like(inv_mA)
 
     t1, t2 = vec.orthonormal_basis(n)
-
-    va, wa = state.linvel[a], state.angvel[a]
-    vb, wb = state.linvel[b], state.angvel[b]
 
     def dir_rows(d, rhs_fn):
         JaA, JaB, tA, tB, em = _make_dir(d, rA, rB, inv_mA, inv_IA, inv_mB,
@@ -215,8 +280,7 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
         return RowDir(JaA=JaA, JaB=JaB, tA=tA, tB=tB, eff_mass=em,
                       rhs=rhs_fn(relvel))
 
-    dist = flat(man.distance)
-    restit_mix = jnp.minimum(state.restitution[a], state.restitution[b])
+    restit_mix = jnp.minimum(ga[:, 21], gb[:, 21])
     # with the restitution pre-pass enabled the main rows get zero restitution
     # (reference: solver.cpp:280-283)
     restitution = jnp.zeros_like(restit_mix) if use_restitution_solver else restit_mix
@@ -228,21 +292,21 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
     r2 = dir_rows(t2, lambda rv: -rv)
 
     # default material mixing (reference: dynamics/material_mixing.hpp:13-35)
-    friction = jnp.sqrt(jnp.maximum(state.friction[a] * state.friction[b], 0.0))
-    spin_fr = jnp.maximum(state.spin_friction[a], state.spin_friction[b])
-    roll_fr = jnp.maximum(state.roll_friction[a], state.roll_friction[b])
+    friction = jnp.sqrt(jnp.maximum(ga[:, 20] * gb[:, 20], 0.0))
+    spin_fr = jnp.maximum(ga[:, 22], gb[:, 22])
+    roll_fr = jnp.maximum(ga[:, 23], gb[:, 23])
     # series stiffness/damping (reference mix: 1/(1/a+1/b))
-    stiff = 1.0 / (1.0 / jnp.maximum(state.stiffness[a], 1.0)
-                   + 1.0 / jnp.maximum(state.stiffness[b], 1.0))
-    dampc = 1.0 / (1.0 / jnp.maximum(state.damping[a], 1.0)
-                   + 1.0 / jnp.maximum(state.damping[b], 1.0))
+    stiff = 1.0 / (1.0 / jnp.maximum(ga[:, 24], 1.0)
+                   + 1.0 / jnp.maximum(gb[:, 24], 1.0))
+    dampc = 1.0 / (1.0 / jnp.maximum(ga[:, 25], 1.0)
+                   + 1.0 / jnp.maximum(gb[:, 25], 1.0))
 
     # pair-table override (reference: material_mix_table lookup precedes the
     # default mix functions, src/edyn/util/collision_util.cpp:294-310)
     mix = state.mix_table
     if mix.ids.shape[0] > 0:
-        ida = state.material_id[a]
-        idb = state.material_id[b]
+        ida = ga[:, 26].astype(jnp.int32)
+        idb = gb[:, 26].astype(jnp.int32)
         lo = jnp.minimum(ida, idb)[:, None]
         hi = jnp.maximum(ida, idb)[:, None]
         tlo = jnp.minimum(mix.ids[:, 0], mix.ids[:, 1])[None, :]
@@ -288,7 +352,8 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
                              * dt, 0.0)
     upper_n = jnp.where(soft, spring_cap, BIG)
 
-    return ContactRows(valid=valid, a=a, b=b, inv_mA=inv_mA, inv_mB=inv_mB,
+    return ContactRows(valid=valid, a=a, b=b, ab=ab,
+                       inv_mA=inv_mA, inv_mB=inv_mB,
                        n=n, t1=t1, t2=t2, rn=rn, r1=r1, r2=r2,
                        friction=friction, restitution=restit_mix,
                        upper_n=upper_n, soft=soft,
@@ -306,9 +371,8 @@ def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
     """Recompute rhs terms against current velocities (called after the
     restitution pre-pass and gravity, matching the reference's prepare order:
     solver.cpp:387-405)."""
-    a, b = rows.a, rows.b
-    va, wa = state.linvel[a], state.angvel[a]
-    vb, wb = state.linvel[b], state.angvel[b]
+    velp = jnp.concatenate([state.linvel, state.angvel], axis=1)
+    va, wa, vb, wb = gather_ab(velp, rows.ab)
     dist = rows.base_dist
     error = jnp.where(dist > 0, dist / dt, 0.0)
     restitution = 0.0 if use_restitution_solver else rows.restitution
@@ -330,55 +394,39 @@ def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
                                rhs_roll2=-vec.dot(rows.t2, rel_w))
 
 
-def _apply(rows: ContactRows, d, rd: RowDir, dlam, dv, dw):
-    dlam = jnp.where(rows.valid, dlam, 0.0)
-    dv = dv.at[rows.a].add(rows.inv_mA[:, None] * d * dlam[:, None])
-    dw = dw.at[rows.a].add(rd.tA * dlam[:, None])
-    dv = dv.at[rows.b].add(rows.inv_mB[:, None] * -d * dlam[:, None])
-    dw = dw.at[rows.b].add(rd.tB * dlam[:, None])
-    return dv, dw
-
-
-def _delta_relvel(rows: ContactRows, d, rd: RowDir, dv, dw):
-    return (vec.dot(d, dv[rows.a]) + vec.dot(rd.JaA, dw[rows.a])
-            - vec.dot(d, dv[rows.b]) + vec.dot(rd.JaB, dw[rows.b]))
-
-
-def _apply_ang(rows: ContactRows, sA, sB, dlam, dw):
-    dlam = jnp.where(rows.valid, dlam, 0.0)
-    dw = dw.at[rows.a].add(sA * dlam[:, None])
-    dw = dw.at[rows.b].add(sB * dlam[:, None])
-    return dw
-
-
-def warm_start_contacts(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
+def warm_start_contacts(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dvw):
     """Apply stored impulses before iterating (reference:
-    constraint_row.cpp warm_start)."""
-    dv, dw = _apply(rows, rows.n, rows.rn, n_imp, dv, dw)
-    dv, dw = _apply(rows, rows.t1, rows.r1, f_imp[:, 0], dv, dw)
-    dv, dw = _apply(rows, rows.t2, rows.r2, f_imp[:, 1], dv, dw)
+    constraint_row.cpp warm_start) — one packed scatter."""
+    m = lambda x: jnp.where(rows.valid, x, 0.0)[:, None]
+    dn_ = m(n_imp)
+    df1_ = m(f_imp[:, 0])
+    df2_ = m(f_imp[:, 1])
+    lin = rows.n * dn_ + rows.t1 * df1_ + rows.t2 * df2_
+    lin_a = rows.inv_mA[:, None] * lin
+    lin_b = rows.inv_mB[:, None] * -lin
+    ang_a = rows.rn.tA * dn_ + rows.r1.tA * df1_ + rows.r2.tA * df2_
+    ang_b = rows.rn.tB * dn_ + rows.r1.tB * df1_ + rows.r2.tB * df2_
     if rows.sA_n is not None:
-        dw = _apply_ang(rows, rows.sA_n, rows.sB_n, s_imp, dw)
-        dw = _apply_ang(rows, rows.sA_t1, rows.sB_t1, r_imp[:, 0], dw)
-        dw = _apply_ang(rows, rows.sA_t2, rows.sB_t2, r_imp[:, 1], dw)
-    return dv, dw
+        ds_ = m(s_imp)
+        dr1_ = m(r_imp[:, 0])
+        dr2_ = m(r_imp[:, 1])
+        ang_a = ang_a + rows.sA_n * ds_ + rows.sA_t1 * dr1_ + rows.sA_t2 * dr2_
+        ang_b = ang_b + rows.sB_n * ds_ + rows.sB_t1 * dr1_ + rows.sB_t2 * dr2_
+    return scatter_add_ab(dvw, rows.ab, lin_a, ang_a, lin_b, ang_b)
 
 
-def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
+def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dvw):
     """One velocity iteration over all contact rows.
 
     All six directions of a contact (normal, 2 friction tangents, spin, 2
     rolling) are solved against the iteration-start deltas and applied as ONE
-    combined impulse per row — a single gather round (dv/dw of both bodies)
-    and a single scatter round per iteration, which is what the TPU wants.
-    The sequencing the reference gets from per-row ordering comes from the
-    outer iterations; friction/spin/roll limits couple to the just-updated
+    combined impulse per row — a single packed gather (both bodies' [lin,ang]
+    deltas) and a single packed scatter per iteration, which is what the TPU
+    wants. The sequencing the reference gets from per-row ordering comes from
+    the outer iterations; friction/spin/roll limits couple to the just-updated
     normal impulse exactly like the reference's friction solve
     (constraint_row_friction.cpp:11-55)."""
-    dva = dv[rows.a]
-    dwa = dw[rows.a]
-    dvb = dv[rows.b]
-    dwb = dw[rows.b]
+    dva, dwa, dvb, dwb = gather_ab(dvw, rows.ab)
 
     def drel(d, rd):
         return (vec.dot(d, dva) + vec.dot(rd.JaA, dwa)
@@ -447,10 +495,9 @@ def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dv, dw):
         s_out = s_imp
         r_out = r_imp
 
-    dv = dv.at[rows.a].add(dva_c).at[rows.b].add(dvb_c)
-    dw = dw.at[rows.a].add(dwa_c).at[rows.b].add(dwb_c)
+    dvw = scatter_add_ab(dvw, rows.ab, dva_c, dwa_c, dvb_c, dwb_c)
     f_imp = jnp.stack([imp1, imp2], axis=-1)
-    return new_n, f_imp, s_out, r_out, dv, dw
+    return new_n, f_imp, s_out, r_out, dvw
 
 
 def solve_restitution(state, rows: ContactRows, num_iterations: int,
@@ -470,34 +517,31 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
     reference's restitution pass); impulses never feed warm starting."""
     relvel_threshold = -0.005  # reference restitution_solver.cpp
 
-    def relvels(linvel, angvel):
-        return (vec.dot(rows.n, linvel[rows.a]) + vec.dot(rows.rn.JaA, angvel[rows.a])
-                - vec.dot(rows.n, linvel[rows.b]) + vec.dot(rows.rn.JaB, angvel[rows.b]))
+    def relvels(velp):
+        va, wa, vb, wb = gather_ab(velp, rows.ab)
+        return (vec.dot(rows.n, va) + vec.dot(rows.rn.JaA, wa)
+                - vec.dot(rows.n, vb) + vec.dot(rows.rn.JaB, wb))
 
     def cond(carry):
-        it, linvel, angvel = carry
-        relvel = relvels(linvel, angvel)
+        it, velp = carry
+        relvel = relvels(velp)
         active = rows.valid & (rows.restitution > 0)
         any_approaching = jnp.any(active & (relvel < relvel_threshold))
         return (it < num_iterations) & any_approaching
 
     def body(carry):
-        it, linvel, angvel = carry
-        relvel = relvels(linvel, angvel)
+        it, velp = carry
+        relvel = relvels(velp)
         active = rows.valid & (relvel < relvel_threshold) & (rows.restitution > 0)
         rhs = -relvel * (1.0 + rows.restitution)
 
-        dv = jnp.zeros_like(linvel)
-        dw = jnp.zeros_like(angvel)
+        dvw = jnp.zeros_like(velp)
         n_imp = jnp.zeros_like(rhs)
         f_imp = jnp.zeros(rhs.shape + (2,))
 
         def inner(_, c):
-            n_i, f_i, dv, dw = c
-            dva = dv[rows.a]
-            dwa = dw[rows.a]
-            dvb = dv[rows.b]
-            dwb = dw[rows.b]
+            n_i, f_i, dvw = c
+            dva, dwa, dvb, dwb = gather_ab(dvw, rows.ab)
 
             def drel(d, rd):
                 return (vec.dot(d, dva) + vec.dot(rd.JaA, dwa)
@@ -521,18 +565,17 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
             df1_ = mm(imp1 - f_i[:, 0])
             df2_ = mm(imp2 - f_i[:, 1])
             lin = rows.n * dn_ + rows.t1 * df1_ + rows.t2 * df2_
-            dv = dv.at[rows.a].add(rows.inv_mA[:, None] * lin)
-            dv = dv.at[rows.b].add(rows.inv_mB[:, None] * -lin)
-            dw = dw.at[rows.a].add(rows.rn.tA * dn_ + rows.r1.tA * df1_
-                                   + rows.r2.tA * df2_)
-            dw = dw.at[rows.b].add(rows.rn.tB * dn_ + rows.r1.tB * df1_
-                                   + rows.r2.tB * df2_)
-            return new_n, jnp.stack([imp1, imp2], -1), dv, dw
+            lin_a = rows.inv_mA[:, None] * lin
+            lin_b = rows.inv_mB[:, None] * -lin
+            ang_a = rows.rn.tA * dn_ + rows.r1.tA * df1_ + rows.r2.tA * df2_
+            ang_b = rows.rn.tB * dn_ + rows.r1.tB * df1_ + rows.r2.tB * df2_
+            dvw = scatter_add_ab(dvw, rows.ab, lin_a, ang_a, lin_b, ang_b)
+            return new_n, jnp.stack([imp1, imp2], -1), dvw
 
-        n_imp, f_imp, dv, dw = jax.lax.fori_loop(
-            0, num_individual_iterations, inner, (n_imp, f_imp, dv, dw))
-        return it + 1, linvel + dv, angvel + dw
+        n_imp, f_imp, dvw = jax.lax.fori_loop(
+            0, num_individual_iterations, inner, (n_imp, f_imp, dvw))
+        return it + 1, velp + dvw
 
-    _, linvel, angvel = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), state.linvel, state.angvel))
-    return linvel, angvel
+    velp0 = jnp.concatenate([state.linvel, state.angvel], axis=1)
+    _, velp = jax.lax.while_loop(cond, body, (jnp.int32(0), velp0))
+    return velp[:, 0:3], velp[:, 3:6]

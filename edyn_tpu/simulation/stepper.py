@@ -121,52 +121,52 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     jrows = joints_mod.build_joint_rows(state, dt, settings.mass_splitting)
 
     # --- warm start + velocity iterations ---
+    # body velocity deltas are packed [N,6] (lin 0:3, ang 3:6) so every
+    # iteration is ONE gather + ONE scatter (see solver.py dispatch design)
     N = state.capacity
-    dv = jnp.zeros((N, 3))
-    dw = jnp.zeros((N, 3))
+    dvw = jnp.zeros((N, 6))
     M, P = man.point_valid.shape
     slot = rows.row_slot
-    n_imp = man.normal_impulse.reshape(-1)[slot]
-    f_imp = man.friction_impulse.reshape(-1, 2)[slot]
-    s_imp = man.spin_impulse.reshape(-1)[slot]
-    r_imp = man.roll_impulse.reshape(-1, 2)[slot]
-    dv, dw = solver_mod.warm_start_contacts(rows, n_imp, f_imp, s_imp, r_imp,
-                                            dv, dw)
+    # packed impulse gather: [M,4,6] = n 0 | f 1:3 | s 3 | r 4:6
+    imp_packed = jnp.concatenate([
+        man.normal_impulse[..., None], man.friction_impulse,
+        man.spin_impulse[..., None], man.roll_impulse], axis=-1)
+    ri = imp_packed.reshape(M * P, 6)[slot]
+    n_imp, f_imp, s_imp, r_imp = ri[:, 0], ri[:, 1:3], ri[:, 3], ri[:, 4:6]
+    dvw = solver_mod.warm_start_contacts(rows, n_imp, f_imp, s_imp, r_imp, dvw)
     j_imp = state.joints.impulses
-    dv, dw = joints_mod.warm_start_joints(jrows, j_imp, dv, dw)
+    dvw = joints_mod.warm_start_joints(jrows, j_imp, dvw)
 
     def iteration(_, carry):
-        n_i, f_i, s_i, r_i, j_i, dv, dw = carry
-        n_i, f_i, s_i, r_i, dv, dw = solver_mod.solve_contacts_once(
-            rows, n_i, f_i, s_i, r_i, dv, dw)
-        j_i, dv, dw = joints_mod.solve_joints_once(jrows, j_i, dv, dw)
-        return n_i, f_i, s_i, r_i, j_i, dv, dw
+        n_i, f_i, s_i, r_i, j_i, dvw = carry
+        n_i, f_i, s_i, r_i, dvw = solver_mod.solve_contacts_once(
+            rows, n_i, f_i, s_i, r_i, dvw)
+        j_i, dvw = joints_mod.solve_joints_once(jrows, j_i, dvw)
+        return n_i, f_i, s_i, r_i, j_i, dvw
 
-    n_imp, f_imp, s_imp, r_imp, j_imp, dv, dw = jax.lax.fori_loop(
+    n_imp, f_imp, s_imp, r_imp, j_imp, dvw = jax.lax.fori_loop(
         0, settings.num_solver_velocity_iterations, iteration,
-        (n_imp, f_imp, s_imp, r_imp, j_imp, dv, dw))
+        (n_imp, f_imp, s_imp, r_imp, j_imp, dvw))
 
     # store applied impulses for next-step warm starting (reference:
-    # island_solver.cpp assign_applied_impulses); scatter back through the
-    # row compaction map
-    def writeback(col, vals):
-        flatc = col.reshape((M * P,) + col.shape[2:])
-        flatc = flatc.at[slot].set(jnp.where(
-            rows.valid.reshape((-1,) + (1,) * (vals.ndim - 1)), vals,
-            flatc[slot]), mode="drop")
-        return flatc.reshape(col.shape)
-
+    # island_solver.cpp assign_applied_impulses): ONE packed scatter through
+    # the row compaction map (invalid rows routed out of range and dropped)
+    out_packed = jnp.concatenate([
+        n_imp[:, None], f_imp, s_imp[:, None], r_imp], axis=-1)
+    slot_w = jnp.where(rows.valid, slot, M * P)
+    flat_imp = imp_packed.reshape(M * P, 6).at[slot_w].set(
+        out_packed, mode="drop").reshape(M, P, 6)
     man = dataclasses.replace(
         man,
-        normal_impulse=writeback(man.normal_impulse, n_imp),
-        friction_impulse=writeback(man.friction_impulse, f_imp),
-        spin_impulse=writeback(man.spin_impulse, s_imp),
-        roll_impulse=writeback(man.roll_impulse, r_imp))
+        normal_impulse=flat_imp[..., 0],
+        friction_impulse=flat_imp[..., 1:3],
+        spin_impulse=flat_imp[..., 3],
+        roll_impulse=flat_imp[..., 4:6])
     joints = dataclasses.replace(state.joints, impulses=j_imp)
     state = dataclasses.replace(state, contacts=man, joints=joints)
 
     # --- integrate ---
-    state = integrate_velocities(state, dv, dw, dt)
+    state = integrate_velocities(state, dvw[:, 0:3], dvw[:, 3:6], dt)
 
     # --- position correction (reuses the compacted contact rows) ---
     state = solve_positions(state, rows, settings.num_solver_position_iterations)
