@@ -39,6 +39,53 @@ class Side:
     edge_mask: jnp.ndarray     # [K,E]
 
 
+def pack_side_table(state):
+    """[N,C] flattened transform+convex columns so building a bucket's Side
+    costs ONE gather per pair side instead of ~11 (launch-overhead-bound
+    runtime; see narrowphase.py). Layout: pos 3 | orn 4 | params 4 | radius 1
+    | verts V*3 | vert_mask V | face_normals F*3 | face_mask F | edge_dirs E*3
+    | edge_mask E."""
+    cx = state.convex
+    N = state.capacity
+    V = cx.verts.shape[1]
+    F = cx.face_normals.shape[1]
+    E = cx.edge_dirs.shape[1]
+    f = lambda x: x.astype(jnp.float32)
+    return jnp.concatenate([
+        state.pos, state.orn, state.shape_params, f(cx.radius)[:, None],
+        cx.verts.reshape(N, V * 3), f(cx.vert_mask),
+        cx.face_normals.reshape(N, F * 3), f(cx.face_mask),
+        cx.edge_dirs.reshape(N, E * 3), f(cx.edge_mask),
+    ], axis=1), (V, F, E)
+
+
+def side_from_packed(g, dims) -> Side:
+    """Unpack one gathered [K,C] block back into a Side (slices fuse into the
+    consuming kernels — no data movement)."""
+    V, F, E = dims
+    K = g.shape[0]
+    o = [0]
+
+    def cut(n):
+        s = g[:, o[0]:o[0] + n]
+        o[0] += n
+        return s
+
+    pos = cut(3)
+    orn = cut(4)
+    params = cut(4)
+    radius = cut(1)[:, 0]
+    verts = cut(V * 3).reshape(K, V, 3)
+    vmask = cut(V) > 0.5
+    fn = cut(F * 3).reshape(K, F, 3)
+    fmask = cut(F) > 0.5
+    ed = cut(E * 3).reshape(K, E, 3)
+    emask = cut(E) > 0.5
+    return Side(pos=pos, orn=orn, params=params, verts=verts, vert_mask=vmask,
+                radius=radius, face_normals=fn, face_mask=fmask,
+                edge_dirs=ed, edge_mask=emask)
+
+
 def world_verts(side: Side):
     """[K,V,3] rotated+translated point cloud."""
     return quat.rotate(side.orn[:, None, :], side.verts) + side.pos[:, None, :]

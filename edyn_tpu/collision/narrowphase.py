@@ -91,6 +91,15 @@ def _gather_side(state, idx) -> Side:
                 edge_dirs=cx.edge_dirs[idx], edge_mask=cx.edge_mask[idx])
 
 
+def _compact_sel(mask, cap: int, fill: int):
+    """Ascending indices of set bits padded with ``fill`` — cumsum/scatter
+    compaction instead of jnp.nonzero's sort lowering (dispatch-lean)."""
+    from .broadphase import _compact
+    loc, _cnt = _compact(mask, cap)
+    ok = loc >= 0
+    return jnp.where(ok, loc, fill), ok
+
+
 def _classes_present(types_present: frozenset):
     """Static: which bucket classes can occur given the shape types."""
     conv = [t for t in types_present if t in
@@ -126,12 +135,13 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     cls, swap = classify(ta, tb)
     cls = jnp.where(man.valid, cls, -1)
 
-    new_pivot_a = jnp.zeros((M, 4, 3))
-    new_pivot_b = jnp.zeros((M, 4, 3))
-    new_normal = jnp.zeros((M, 4, 3))
-    new_attach = jnp.zeros((M, 4), jnp.int32)
-    new_dist = jnp.zeros((M, 4))
-    new_valid = jnp.zeros((M, 4), bool)
+    # packed per-bucket results scatter into ONE [M,4,12] buffer (same layout
+    # as solver.pack_manifold_points: pivot_a 0:3 | pivot_b 3:6 | normal 6:9 |
+    # attachment 9 | distance 10 | point_valid 11)
+    new_pts = jnp.zeros((M, 4, 12))
+
+    from .kernels.support import pack_side_table, side_from_packed
+    packed, dims = pack_side_table(state)
 
     present = _classes_present(types_present)
 
@@ -139,16 +149,15 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         want = cls == bucket
         this_cap = cap if bucket in (B_UNIFIED, B_PLANE, B_BOXBOX) else \
             max(256, cap // 4)
-        (sel,) = jnp.nonzero(want, size=this_cap, fill_value=M)
-        sel_ok = sel < M
+        sel, sel_ok = _compact_sel(want, this_cap, M)
         sel_c = jnp.minimum(sel, M - 1)
         a = man.body_a[sel_c]
         b = man.body_b[sel_c]
         sw = swap[sel_c]
         ka = jnp.where(sw, b, a)
         kb = jnp.where(sw, a, b)
-        A = _gather_side(state, ka)
-        B = _gather_side(state, kb)
+        A = side_from_packed(packed[ka], dims)
+        B = side_from_packed(packed[kb], dims)
 
         if bucket == B_UNIFIED:
             res: ContactResult = collide_support(A, B, threshold)
@@ -180,12 +189,17 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         at = jnp.where(sw[:, None], res_sw.attachment, res.attachment)
         ds = res.distance
 
-        new_valid = new_valid.at[sel].set(pv, mode="drop")
-        new_pivot_a = new_pivot_a.at[sel].set(pa, mode="drop")
-        new_pivot_b = new_pivot_b.at[sel].set(pb, mode="drop")
-        new_normal = new_normal.at[sel].set(nr, mode="drop")
-        new_attach = new_attach.at[sel].set(at, mode="drop")
-        new_dist = new_dist.at[sel].set(ds, mode="drop")
+        blk = jnp.concatenate([
+            pa, pb, nr, at.astype(jnp.float32)[..., None], ds[..., None],
+            pv.astype(jnp.float32)[..., None]], axis=-1)
+        new_pts = new_pts.at[sel].set(blk, mode="drop")
+
+    new_pivot_a = new_pts[..., 0:3]
+    new_pivot_b = new_pts[..., 3:6]
+    new_normal = new_pts[..., 6:9]
+    new_attach = new_pts[..., 9].astype(jnp.int32)
+    new_dist = new_pts[..., 10]
+    new_valid = new_pts[..., 11] > 0.5
 
     # store normal in attachment body's object space (reference:
     # contact_point_geometry local normal; re-rotated at row build and in the

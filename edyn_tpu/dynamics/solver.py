@@ -394,9 +394,15 @@ def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
                                rhs_roll2=-vec.dot(rows.t2, rel_w))
 
 
-def warm_start_contacts(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dvw):
+def warm_start_contacts(rows: ContactRows, imp6, dvw):
     """Apply stored impulses before iterating (reference:
-    constraint_row.cpp warm_start) — one packed scatter."""
+    constraint_row.cpp warm_start) — one packed scatter.
+
+    ``imp6`` packs the six accumulated impulses [R,6]:
+    normal 0 | friction 1:3 | spin 3 | roll 4:6 (same layout as the manifold
+    impulse store, so warm start and writeback are slice-free)."""
+    n_imp, f_imp, s_imp, r_imp = (imp6[:, 0], imp6[:, 1:3], imp6[:, 3],
+                                  imp6[:, 4:6])
     m = lambda x: jnp.where(rows.valid, x, 0.0)[:, None]
     dn_ = m(n_imp)
     df1_ = m(f_imp[:, 0])
@@ -415,7 +421,7 @@ def warm_start_contacts(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dvw):
     return scatter_add_ab(dvw, rows.ab, lin_a, ang_a, lin_b, ang_b)
 
 
-def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dvw):
+def solve_contacts_once(rows: ContactRows, imp6, dvw):
     """One velocity iteration over all contact rows.
 
     All six directions of a contact (normal, 2 friction tangents, spin, 2
@@ -426,6 +432,8 @@ def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dvw):
     the outer iterations; friction/spin/roll limits couple to the just-updated
     normal impulse exactly like the reference's friction solve
     (constraint_row_friction.cpp:11-55)."""
+    n_imp, f_imp, s_imp, r_imp = (imp6[:, 0], imp6[:, 1:3], imp6[:, 3],
+                                  imp6[:, 4:6])
     dva, dwa, dvb, dwb = gather_ab(dvw, rows.ab)
 
     def drel(d, rd):
@@ -490,14 +498,14 @@ def solve_contacts_once(rows: ContactRows, n_imp, f_imp, s_imp, r_imp, dvw):
         dwa_c = dwa_c + rows.sA_n * ds_ + rows.sA_t1 * dr1_ + rows.sA_t2 * dr2_
         dwb_c = dwb_c + rows.sB_n * ds_ + rows.sB_t1 * dr1_ + rows.sB_t2 * dr2_
         s_out = new_s
-        r_out = jnp.stack([r1n, r2n], axis=-1)
+        r1_out, r2_out = r1n, r2n
     else:
         s_out = s_imp
-        r_out = r_imp
+        r1_out, r2_out = r_imp[:, 0], r_imp[:, 1]
 
     dvw = scatter_add_ab(dvw, rows.ab, dva_c, dwa_c, dvb_c, dwb_c)
-    f_imp = jnp.stack([imp1, imp2], axis=-1)
-    return new_n, f_imp, s_out, r_out, dvw
+    imp6 = jnp.stack([new_n, imp1, imp2, s_out, r1_out, r2_out], axis=-1)
+    return imp6, dvw
 
 
 def solve_restitution(state, rows: ContactRows, num_iterations: int,
@@ -536,11 +544,11 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
         rhs = -relvel * (1.0 + rows.restitution)
 
         dvw = jnp.zeros_like(velp)
-        n_imp = jnp.zeros_like(rhs)
-        f_imp = jnp.zeros(rhs.shape + (2,))
+        imp3 = jnp.zeros(rhs.shape + (3,))   # normal 0 | friction 1:3
 
         def inner(_, c):
-            n_i, f_i, dvw = c
+            imp3, dvw = c
+            n_i, f_i = imp3[:, 0], imp3[:, 1:3]
             dva, dwa, dvb, dwb = gather_ab(dvw, rows.ab)
 
             def drel(d, rd):
@@ -570,10 +578,10 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
             ang_a = rows.rn.tA * dn_ + rows.r1.tA * df1_ + rows.r2.tA * df2_
             ang_b = rows.rn.tB * dn_ + rows.r1.tB * df1_ + rows.r2.tB * df2_
             dvw = scatter_add_ab(dvw, rows.ab, lin_a, ang_a, lin_b, ang_b)
-            return new_n, jnp.stack([imp1, imp2], -1), dvw
+            return jnp.stack([new_n, imp1, imp2], -1), dvw
 
-        n_imp, f_imp, dvw = jax.lax.fori_loop(
-            0, num_individual_iterations, inner, (n_imp, f_imp, dvw))
+        imp3, dvw = jax.lax.fori_loop(
+            0, num_individual_iterations, inner, (imp3, dvw))
         return it + 1, velp + dvw
 
     velp0 = jnp.concatenate([state.linvel, state.angvel], axis=1)

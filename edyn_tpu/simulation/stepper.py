@@ -131,31 +131,27 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     imp_packed = jnp.concatenate([
         man.normal_impulse[..., None], man.friction_impulse,
         man.spin_impulse[..., None], man.roll_impulse], axis=-1)
-    ri = imp_packed.reshape(M * P, 6)[slot]
-    n_imp, f_imp, s_imp, r_imp = ri[:, 0], ri[:, 1:3], ri[:, 3], ri[:, 4:6]
-    dvw = solver_mod.warm_start_contacts(rows, n_imp, f_imp, s_imp, r_imp, dvw)
+    imp6 = imp_packed.reshape(M * P, 6)[slot]
+    dvw = solver_mod.warm_start_contacts(rows, imp6, dvw)
     j_imp = state.joints.impulses
     dvw = joints_mod.warm_start_joints(jrows, j_imp, dvw)
 
     def iteration(_, carry):
-        n_i, f_i, s_i, r_i, j_i, dvw = carry
-        n_i, f_i, s_i, r_i, dvw = solver_mod.solve_contacts_once(
-            rows, n_i, f_i, s_i, r_i, dvw)
+        imp6, j_i, dvw = carry
+        imp6, dvw = solver_mod.solve_contacts_once(rows, imp6, dvw)
         j_i, dvw = joints_mod.solve_joints_once(jrows, j_i, dvw)
-        return n_i, f_i, s_i, r_i, j_i, dvw
+        return imp6, j_i, dvw
 
-    n_imp, f_imp, s_imp, r_imp, j_imp, dvw = jax.lax.fori_loop(
+    imp6, j_imp, dvw = jax.lax.fori_loop(
         0, settings.num_solver_velocity_iterations, iteration,
-        (n_imp, f_imp, s_imp, r_imp, j_imp, dvw))
+        (imp6, j_imp, dvw))
 
     # store applied impulses for next-step warm starting (reference:
     # island_solver.cpp assign_applied_impulses): ONE packed scatter through
     # the row compaction map (invalid rows routed out of range and dropped)
-    out_packed = jnp.concatenate([
-        n_imp[:, None], f_imp, s_imp[:, None], r_imp], axis=-1)
     slot_w = jnp.where(rows.valid, slot, M * P)
     flat_imp = imp_packed.reshape(M * P, 6).at[slot_w].set(
-        out_packed, mode="drop").reshape(M, P, 6)
+        imp6, mode="drop").reshape(M, P, 6)
     man = dataclasses.replace(
         man,
         normal_impulse=flat_imp[..., 0],

@@ -113,8 +113,7 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
     def vel(rows, st):
         N = st.capacity
         R = rows.valid.shape[0]
-        carry = (jnp.zeros(R), jnp.zeros((R, 2)), jnp.zeros(R),
-                 jnp.zeros((R, 2)), jnp.zeros((N, 6)))
+        carry = (jnp.zeros((R, 6)), jnp.zeros((N, 6)))
 
         def it(_, c):
             return sm.solve_contacts_once(rows, *c)
