@@ -38,6 +38,7 @@ def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
                   or (np.asarray(state.roll_friction)[valid] > 0).any()
                   or (np.asarray(state.mix_table.vals)[:, 2:4] > 0).any())
     kw.setdefault("has_spin_roll", has_sr)
+    kw.setdefault("has_joints", bool(np.asarray(state.joints.valid).any()))
     return SceneMeta(types_present=present, max_pairs=max_pairs, **kw)
 
 

