@@ -47,15 +47,25 @@ def pack_side_table(state):
     | edge_mask E."""
     cx = state.convex
     N = state.capacity
+    Ncx = cx.verts.shape[0]
     V = cx.verts.shape[1]
     F = cx.face_normals.shape[1]
     E = cx.edge_dirs.shape[1]
     f = lambda x: x.astype(jnp.float32)
+
+    def pad(x):
+        # the convex table may be shorter than the body capacity (scenes with
+        # no plain convex bodies keep a 1-row placeholder); pad so row index
+        # == body index
+        if Ncx < N:
+            return jnp.pad(x, ((0, N - Ncx),) + ((0, 0),) * (x.ndim - 1))
+        return x[:N]
+
     return jnp.concatenate([
-        state.pos, state.orn, state.shape_params, f(cx.radius)[:, None],
-        cx.verts.reshape(N, V * 3), f(cx.vert_mask),
-        cx.face_normals.reshape(N, F * 3), f(cx.face_mask),
-        cx.edge_dirs.reshape(N, E * 3), f(cx.edge_mask),
+        state.pos, state.orn, state.shape_params, pad(f(cx.radius)[:, None]),
+        pad(cx.verts.reshape(Ncx, V * 3)), pad(f(cx.vert_mask)),
+        pad(cx.face_normals.reshape(Ncx, F * 3)), pad(f(cx.face_mask)),
+        pad(cx.edge_dirs.reshape(Ncx, E * 3)), pad(f(cx.edge_mask)),
     ], axis=1), (V, F, E)
 
 

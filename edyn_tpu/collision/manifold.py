@@ -20,7 +20,10 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from ..config import CONTACT_CACHING_THRESHOLD
+from ..config import (
+    CONTACT_BREAKING_THRESHOLD, CONTACT_CACHING_THRESHOLD,
+    CONTACT_MERGING_THRESHOLD,
+)
 from ..core.state import ContactTable
 from .broadphase import INVALID_KEY
 
@@ -69,50 +72,187 @@ def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid) -> ContactTa
     )
 
 
+def _manifold_score(p0, p1, p2, p3):
+    """Value proportional to the contact patch area spanned by 4 points
+    (reference: manifold_score, src/edyn/math/geom.cpp:847-855)."""
+    from ..math import vec
+    c0 = vec.cross(p0 - p1, p0 - p2)
+    c1 = vec.cross(p0 - p2, p0 - p3)
+    c2 = vec.cross(p0 - p3, p0 - p1)
+    c3 = vec.cross(p1 - p2, p2 - p3)
+    return (vec.length_sqr(c0) + vec.length_sqr(c1)
+            + vec.length_sqr(c2) + vec.length_sqr(c3))
+
+
 def merge_points(man: ContactTable, new_pivot_a, new_pivot_b, new_local_normal,
-                 new_attachment, new_distance, new_point_valid) -> ContactTable:
-    """Merge freshly detected points into the carried-over manifold.
+                 new_attachment, new_distance, new_point_valid,
+                 pose=None, dt: float = 1.0 / 60.0) -> ContactTable:
+    """Merge freshly detected points into the carried-over manifold with the
+    reference's RETENTION semantics (process_collision,
+    include/edyn/util/collision_util.hpp:105-276, batched):
 
-    The fresh points become the manifold (narrowphase already caps at 4 points
-    maximizing spread); each inherits warm-start impulses from the nearest
-    previous point within contact_caching_threshold of either pivot
-    (reference: collision_util.cpp:205-280 merge criterion)."""
-    thr2 = CONTACT_CACHING_THRESHOLD * CONTACT_CACHING_THRESHOLD
+    1. Every existing point looks for the nearest fresh point within
+       contact_caching_threshold of either pivot (find_nearest_contact,
+       src/edyn/util/collision_util.cpp:233-255); rolling bodies additionally
+       match against back-rotated world pivots (find_nearest_contact_rolling,
+       :257-280). Matched points ADOPT the fresh geometry and keep their
+       accumulated impulses; each fresh point merges at most one existing
+       point (ties resolved by distance — the reference resolves by list
+       order, an arbitrary choice).
+    2. UNMATCHED existing points are KEPT — warm-start continuity does not
+       depend on the detector re-emitting every point — until their
+       recomputed normal separation exceeds contact_breaking_threshold or
+       the tangential pivot drift^2 exceeds its square (should_remove_point,
+       collision_util.cpp:399-413). Kept points get their distance refreshed
+       from current transforms (the reference's update_contact_distances).
+    3. Leftover fresh points insert into the retained set: merge into a slot
+       within contact_merging_threshold (keeping its impulses), else append
+       to a free slot, else replace the slot that maximizes the manifold
+       area score, else drop (insertion_point_index,
+       src/edyn/math/geom.cpp:857-1010).
 
-    # [M, new, old] pivot distance^2 (use pivot on A; reference tries both
-    # pivots — take the min of the two)
-    da = jnp.sum((new_pivot_a[:, :, None, :] - man.pivot_a[:, None, :, :]) ** 2, -1)
-    db = jnp.sum((new_pivot_b[:, :, None, :] - man.pivot_b[:, None, :, :]) ** 2, -1)
-    d2 = jnp.minimum(da, db)
-    d2 = jnp.where(man.point_valid[:, None, :], d2, jnp.inf)
-    best = jnp.argmin(d2, axis=-1)                       # [M,4]
-    best_d2 = jnp.take_along_axis(d2, best[..., None], axis=-1)[..., 0]
-    inherit = new_point_valid & (best_d2 < thr2)
+    ``pose`` carries (pos_a, orn_a, angvel_a, rolling_a, pos_b, orn_b,
+    angvel_b, rolling_b) gathered per pair — needed for drift measurement and
+    rolling matching; without it, steps 1/3 run but unmatched points break
+    immediately (legacy behavior for direct callers)."""
+    from ..math import quat as _q
+    cache2 = CONTACT_CACHING_THRESHOLD * CONTACT_CACHING_THRESHOLD
+    merge2 = CONTACT_MERGING_THRESHOLD * CONTACT_MERGING_THRESHOLD
+    break_thr = CONTACT_BREAKING_THRESHOLD
 
-    # persistent per-point payload packed [M,4,7] -> ONE take_along_axis
+    ov = man.point_valid                         # [M,O]
+    nv = new_point_valid & man.valid[:, None]    # [M,N]
+    M, O = ov.shape
+    Nn = nv.shape[1]
+
+    # --- step 1: nearest-match existing -> fresh ---
+    da = jnp.sum((man.pivot_a[:, :, None, :] - new_pivot_a[:, None, :, :]) ** 2, -1)
+    db = jnp.sum((man.pivot_b[:, :, None, :] - new_pivot_b[:, None, :, :]) ** 2, -1)
+    d2 = jnp.minimum(da, db)                     # [M,O,N]
+    pairable = ov[:, :, None] & nv[:, None, :]
+    d2_direct = jnp.where(pairable & (d2 < cache2), d2, jnp.inf)
+
+    if pose is not None:
+        pos_a, orn_a, angvel_a, rolling_a, pos_b, orn_b, angvel_b, rolling_b = pose
+        # back-rotated world pivots (reference find_nearest_contact_rolling)
+        d2_roll = jnp.full_like(d2, jnp.inf)
+        for pos, orn, w, rolling, old_piv, new_piv in (
+                (pos_a, orn_a, angvel_a, rolling_a, man.pivot_a, new_pivot_a),
+                (pos_b, orn_b, angvel_b, rolling_b, man.pivot_b, new_pivot_b)):
+            prev_orn = _q.integrate(orn, w, -dt)
+            prev_w = pos[:, None, :] + _q.rotate(prev_orn[:, None, :], old_piv)
+            new_w = pos[:, None, :] + _q.rotate(orn[:, None, :], new_piv)
+            dr = jnp.sum((prev_w[:, :, None, :] - new_w[:, None, :, :]) ** 2, -1)
+            dr = jnp.where(pairable & (dr < cache2) & rolling[:, None, None],
+                           dr, jnp.inf)
+            d2_roll = jnp.minimum(d2_roll, dr)
+        has_direct = jnp.any(jnp.isfinite(d2_direct), axis=-1, keepdims=True)
+        d2_eff = jnp.where(has_direct, d2_direct, d2_roll)
+    else:
+        d2_eff = d2_direct
+
+    nearest_n = jnp.argmin(d2_eff, axis=-1)                      # [M,O]
+    nearest_d2 = jnp.take_along_axis(d2_eff, nearest_n[..., None], -1)[..., 0]
+    claims = jnp.isfinite(nearest_d2)                            # [M,O]
+
+    # dedupe: each fresh point keeps its closest claimant
+    match_mat = claims[:, :, None] & (
+        nearest_n[:, :, None] == jnp.arange(Nn)[None, None, :])  # [M,O,N]
+    cost = jnp.where(match_mat, d2_eff, jnp.inf)
+    winner_o = jnp.argmin(cost, axis=1)                          # [M,N]
+    won = jnp.isfinite(jnp.min(cost, axis=1))                    # [M,N] merged fresh
+    matched = claims & (jnp.take_along_axis(winner_o, nearest_n, axis=1)
+                        == jnp.arange(O)[None, :])               # [M,O]
+
+    # --- adopt fresh geometry for matched slots (packed) ---
     f = lambda x: x.astype(jnp.float32)[..., None]
-    pk = jnp.concatenate([
-        f(man.lifetime), f(man.normal_impulse), man.friction_impulse,
-        f(man.spin_impulse), man.roll_impulse], axis=-1)
-    g = jnp.take_along_axis(pk, best[..., None], axis=1)
-    g = jnp.where(inherit[..., None], g, 0.0)
-    lifetime = jnp.where(inherit, g[..., 0].astype(jnp.int32) + 1, 0)
-    n_imp = g[..., 1]
-    f_imp = g[..., 2:4]
-    s_imp = g[..., 4]
-    r_imp = g[..., 5:7]
+    new_geom = jnp.concatenate([
+        new_pivot_a, new_pivot_b, new_local_normal,
+        f(new_attachment), f(new_distance)], axis=-1)            # [M,N,11]
+    old_geom = jnp.concatenate([
+        man.pivot_a, man.pivot_b, man.local_normal,
+        f(man.normal_attachment), f(man.distance)], axis=-1)     # [M,O,11]
+    adopted = jnp.take_along_axis(new_geom, nearest_n[..., None], axis=1)
+    geom = jnp.where(matched[..., None], adopted, old_geom)
+
+    # --- step 2: keep-or-break unmatched existing points ---
+    if pose is not None:
+        piv_a = geom[..., 0:3]
+        piv_b = geom[..., 3:6]
+        ln = geom[..., 6:9]
+        att = geom[..., 9].astype(jnp.int32)
+        pA_w = pos_a[:, None, :] + _q.rotate(orn_a[:, None, :], piv_a)
+        pB_w = pos_b[:, None, :] + _q.rotate(orn_b[:, None, :], piv_b)
+        n_w = jnp.where((att == 1)[..., None], _q.rotate(orn_a[:, None, :], ln),
+                        jnp.where((att == 2)[..., None],
+                                  _q.rotate(orn_b[:, None, :], ln), ln))
+        d = pA_w - pB_w
+        nd = jnp.sum(d * n_w, -1)
+        tang2 = jnp.sum((d - nd[..., None] * n_w) ** 2, -1)
+        breaking = (nd > break_thr) | (tang2 > break_thr * break_thr)
+        keep = ov & (matched | ~breaking)
+        # refresh stored distance from current transforms for kept points
+        geom = geom.at[..., 10].set(jnp.where(matched, geom[..., 10], nd))
+    else:
+        keep = ov & matched
+
+    lifetime = jnp.where(keep, man.lifetime + 1, 0)
+    imp = jnp.concatenate([
+        f(man.normal_impulse)[..., 0:1], man.friction_impulse,
+        f(man.spin_impulse)[..., 0:1], man.roll_impulse], axis=-1)  # [M,O,6]
+    imp = jnp.where(keep[..., None], imp, 0.0)
+    valid = keep
+
+    # --- step 3: insert leftover fresh points (unrolled over N) ---
+    for j in range(Nn):
+        want = nv[:, j] & ~won[:, j]                             # [M]
+        pj_geom = new_geom[:, j]                                 # [M,11]
+        pj_a = pj_geom[:, 0:3]
+        # similar: within merging threshold of a retained slot -> adopt
+        # geometry there, keep that slot's impulses
+        ds = jnp.sum((geom[..., 0:3] - pj_a[:, None, :]) ** 2, -1)
+        ds = jnp.where(valid, ds, jnp.inf)
+        sim_slot = jnp.argmin(ds, axis=-1)
+        sim_ok = want & (jnp.min(ds, axis=-1) < merge2)
+        # append: first free slot
+        free_slot = jnp.argmin(valid, axis=-1)
+        has_free = ~jnp.all(valid, axis=-1)
+        app_ok = want & ~sim_ok & has_free
+        # replace: best area score among the 4 replace options, if better
+        # than the current set's score (only relevant when full)
+        pts = geom[..., 0:3]                                     # [M,O,3]
+        cur = _manifold_score(pts[:, 0], pts[:, 1], pts[:, 2], pts[:, 3])
+        scores = []
+        for r in range(O):
+            ps = [pj_a if k == r else pts[:, k] for k in range(O)]
+            scores.append(_manifold_score(*ps))
+        scores = jnp.stack(scores, axis=-1)                      # [M,O]
+        rep_slot = jnp.argmax(scores, axis=-1)
+        rep_ok = want & ~sim_ok & ~has_free & \
+            (jnp.max(scores, axis=-1) > cur)
+
+        slot = jnp.where(sim_ok, sim_slot,
+                         jnp.where(app_ok, free_slot, rep_slot))
+        doit = sim_ok | app_ok | rep_ok
+        onehot = doit[:, None] & (jnp.arange(O)[None, :] == slot[:, None])
+        geom = jnp.where(onehot[..., None], pj_geom[:, None, :], geom)
+        # similar keeps the slot's impulses/lifetime; append/replace reset
+        reset = onehot & ~sim_ok[:, None]
+        imp = jnp.where(reset[..., None], 0.0, imp)
+        lifetime = jnp.where(reset, 0, lifetime)
+        valid = valid | onehot
 
     return dataclasses.replace(
         man,
-        point_valid=new_point_valid & man.valid[:, None],
-        pivot_a=new_pivot_a,
-        pivot_b=new_pivot_b,
-        local_normal=new_local_normal,
-        normal_attachment=new_attachment,
-        distance=new_distance,
+        point_valid=valid & man.valid[:, None],
+        pivot_a=geom[..., 0:3],
+        pivot_b=geom[..., 3:6],
+        local_normal=geom[..., 6:9],
+        normal_attachment=geom[..., 9].astype(jnp.int32),
+        distance=geom[..., 10],
         lifetime=lifetime,
-        normal_impulse=n_imp,
-        friction_impulse=f_imp,
-        spin_impulse=s_imp,
-        roll_impulse=r_imp,
+        normal_impulse=imp[..., 0],
+        friction_impulse=imp[..., 1:3],
+        spin_impulse=imp[..., 3],
+        roll_impulse=imp[..., 4:6],
     )

@@ -125,7 +125,7 @@ def _classes_present(types_present: frozenset):
 
 
 def update_contacts(state, man, threshold: float, types_present: frozenset,
-                    bucket_cap: int | None = None):
+                    bucket_cap: int | None = None, dt: float = 1.0 / 60.0):
     """Run the applicable bucket-class kernels over the manifold pair list and
     merge fresh points into ``man`` (the carried-over manifold table)."""
     M = man.key.shape[0]
@@ -211,5 +211,14 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         jnp.where((new_attach == 2)[..., None], quat.rotate_inv(orn_b, new_normal),
                   new_normal))
 
+    # pair poses for point retention (drift measurement + rolling matching);
+    # rolling analogue of the reference's rolling_tag: round dynamic shapes
+    rolling = (((state.shape_type == S.SPHERE) | (state.shape_type == S.CAPSULE)
+                | (state.shape_type == S.CYLINDER)) & state.is_dynamic)
+    pose = (state.pos[man.body_a], orn_a[:, 0], state.angvel[man.body_a],
+            rolling[man.body_a],
+            state.pos[man.body_b], orn_b[:, 0], state.angvel[man.body_b],
+            rolling[man.body_b])
+
     return merge_points(man, new_pivot_a, new_pivot_b, local_n, new_attach,
-                        new_dist, new_valid)
+                        new_dist, new_valid, pose=pose, dt=dt)

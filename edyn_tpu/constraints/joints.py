@@ -341,6 +341,106 @@ def solve_joints_once(rows: JointRows, impulses, dvw):
     return new.reshape(impulses.shape), dvw
 
 
+def solve_joint_positions(state, num_iterations: int = 3,
+                          correction_rate: float = 0.8):
+    """NGS position correction for joints (reference: the per-constraint
+    solve_position methods driven by solve_position_constraints,
+    src/edyn/dynamics/island_solver.cpp:250-353; hinge_constraint.cpp:180-215,
+    cvjoint/generic likewise).
+
+    Re-derives geometry each iteration from the CURRENT poses (unlike the
+    contact NGS, which linearizes around step-start rows — joints are few, so
+    exact re-rotation is cheap) and applies positional/angular corrections
+    directly. This keeps the steady-state position error near zero, which in
+    turn keeps the velocity rows' erp bias small — without it, a hanging
+    chain's persistent error injects energy every step through the bias
+    term."""
+    import dataclasses as dc
+    jt = state.joints
+    Jn = jt.jtype.shape[0]
+    N = state.capacity
+    if Jn == 0 or num_iterations <= 0:
+        return state
+
+    is_ = lambda t: jt.jtype == t
+    point_like = (is_(JointType.POINT) | is_(JointType.HINGE)
+                  | is_(JointType.CVJOINT) | is_(JointType.GENERIC))
+    axis_align = is_(JointType.HINGE) | is_(JointType.CVJOINT)
+    a, b = jt.body_a, jt.body_b
+    ab = jnp.concatenate([a, b])
+    jvalid = jt.valid & ~(state.asleep[a] & state.asleep[b])
+
+    pos = state.pos
+    orn = state.orn
+    inv_m = state.mass_inv
+
+    def solve_row(pos, orn, Iw, d_a, ang_a, d_b, ang_b, error, active):
+        """One position row: J = {d_a, ang_a, d_b, ang_b}; pushes error -> 0
+        (reference position_solver::solve, position_solver.hpp:13-52)."""
+        ima = jnp.where(active, inv_m[a], 0.0)
+        imb = jnp.where(active, inv_m[b], 0.0)
+        tA = jnp.einsum("jik,jk->ji", Iw[:Jn], ang_a)
+        tB = jnp.einsum("jik,jk->ji", Iw[Jn:], ang_b)
+        term = (vec.dot(d_a, d_a) * ima + vec.dot(tA, ang_a)
+                + vec.dot(d_b, d_b) * imb + vec.dot(tB, ang_b))
+        em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
+        # reference convention: correction = +error * rate * eff_mass applied
+        # along J (position_solver.hpp:16-32)
+        lam = (error * correction_rate * em)[:, None]
+        lam = jnp.where(active[:, None], lam, 0.0)
+        dpos = jnp.zeros((N, 3)).at[ab].add(
+            jnp.concatenate([ima[:, None] * d_a * lam,
+                             imb[:, None] * d_b * lam]))
+        dang = jnp.zeros((N, 3)).at[ab].add(
+            jnp.concatenate([tA * lam, tB * lam]))
+        pos = pos + dpos
+        orn = quat.integrate(orn, dang, 1.0)
+        return pos, orn
+
+    for _ in range(num_iterations):
+        orn_ab = orn[ab]
+        qa = quat.mul(orn_ab[:Jn], jt.frame_a)
+        qb = quat.mul(orn_ab[Jn:], jt.frame_b)
+        Ma = quat.to_matrix(qa)
+        Mb = quat.to_matrix(qb)
+        # world inverse inertia from the evolving orientations
+        R = quat.to_matrix(orn_ab)
+        Iw = jnp.einsum("rij,rjk,rlk->ril",
+                        R, state.inertia_inv[ab], R)
+
+        # --- angular: align primary axes (hinge/cvjoint) ---
+        ax_a = Ma[..., :, 0]
+        ax_b = Mb[..., :, 0]
+        u = vec.cross(ax_a, ax_b)
+        p, q = vec.orthonormal_basis(ax_a)
+        z3 = jnp.zeros((Jn, 3))
+        for tdir in (p, q):
+            err = vec.dot(u, tdir)
+            active = jvalid & axis_align & (jnp.abs(err) > 1e-9)
+            pos, orn = solve_row(pos, orn, Iw, z3, tdir, z3, -tdir, err,
+                                 active)
+            orn_ab = orn[ab]
+            R = quat.to_matrix(orn_ab)
+            Iw = jnp.einsum("rij,rjk,rlk->ril", R, state.inertia_inv[ab], R)
+
+        # --- linear: join pivot points ---
+        pos_ab = pos[ab]
+        rA = quat.rotate(orn_ab[:Jn], jt.pivot_a)
+        rB = quat.rotate(orn_ab[Jn:], jt.pivot_b)
+        pA = pos_ab[:Jn] + rA
+        pB = pos_ab[Jn:] + rB
+        d = pA - pB
+        err = vec.length(d)
+        dirn = vec.normalize_or(d, jnp.broadcast_to(
+            jnp.array([0.0, 1.0, 0.0]), d.shape))
+        active = jvalid & point_like & (err > 1e-9)
+        pos, orn = solve_row(pos, orn, Iw, dirn, vec.cross(rA, dirn),
+                             -dirn, -vec.cross(rB, dirn), -err, active)
+
+    # immovable bodies never moved (inv_m = 0, inertia_inv = 0)
+    return dc.replace(state, pos=pos, orn=orn)
+
+
 def apply_gravity_joints(state, dt: float):
     """Pairwise gravitational attraction (reference:
     src/edyn/constraints/gravity_constraint.cpp). Applied directly to

@@ -205,6 +205,20 @@ class World:
                 jnp.asarray(np.linalg.inv(I), jnp.float32))
         from .spawn import update_convex_row
         updates["convex"] = update_convex_row(st.convex, i, int(stype), params)
+        # clear this body's manifolds — existing contact points are invalid
+        # for the new shape (reference: rigidbody_set_shape
+        # clear_contact_manifold_tag, src/edyn/util/rigidbody.cpp:488-495)
+        man = st.contacts
+        hit = ((man.body_a == i) | (man.body_b == i)) & man.valid
+        updates["contacts"] = dataclasses.replace(
+            man,
+            point_valid=jnp.where(hit[:, None], False, man.point_valid),
+            normal_impulse=jnp.where(hit[:, None], 0.0, man.normal_impulse),
+            friction_impulse=jnp.where(hit[:, None, None], 0.0,
+                                       man.friction_impulse),
+            spin_impulse=jnp.where(hit[:, None], 0.0, man.spin_impulse),
+            roll_impulse=jnp.where(hit[:, None, None], 0.0, man.roll_impulse),
+            lifetime=jnp.where(hit[:, None], 0, man.lifetime))
         self.state = dataclasses.replace(st, **updates)
         self.meta = dataclasses.replace(
             self.meta,

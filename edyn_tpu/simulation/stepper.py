@@ -98,7 +98,7 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     # --- manifold persistence + narrowphase ---
     man = carry_over(state.contacts, keys, pa, pb, pvalid)
     man = update_contacts(state, man, settings.collision_threshold,
-                          meta.types_present, meta.bucket_cap)
+                          meta.types_present, meta.bucket_cap, dt)
     state = dataclasses.replace(state, contacts=man)
 
     # --- islands & sleeping ---
@@ -173,6 +173,9 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
 
     # --- position correction (reuses the compacted contact rows) ---
     state = solve_positions(state, rows, settings.num_solver_position_iterations)
+    if meta.has_joints:
+        state = joints_mod.solve_joint_positions(
+            state, settings.num_solver_position_iterations)
 
     return dataclasses.replace(
         state,
