@@ -18,7 +18,7 @@ from .shapes import (
     PagedMeshShape, PlaneShape, PolyhedronShape, SphereShape,
 )
 from .constraints.api import (
-    make_cone_constraint, make_cvjoint_constraint, make_distance_constraint,
+    dof, make_cone_constraint, make_cvjoint_constraint, make_distance_constraint,
     make_generic_constraint, make_gravity_constraint, make_hinge_constraint,
     make_null_constraint, make_point_constraint, make_soft_distance_constraint,
 )
@@ -34,6 +34,6 @@ __all__ = [
     "PolyhedronShape", "CompoundShape", "MeshShape", "PagedMeshShape",
     "make_distance_constraint", "make_soft_distance_constraint",
     "make_point_constraint", "make_hinge_constraint", "make_cone_constraint",
-    "make_generic_constraint", "make_cvjoint_constraint",
+    "make_generic_constraint", "make_cvjoint_constraint", "dof",
     "make_gravity_constraint", "make_null_constraint",
 ]

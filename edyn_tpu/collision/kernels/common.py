@@ -37,6 +37,8 @@ class ContactResult:
     normal: jnp.ndarray       # [K,4,3] world, B -> A
     distance: jnp.ndarray     # [K,4]
     attachment: jnp.ndarray   # [K,4] int32
+    friction_scale: jnp.ndarray     # [K,4] per-point surface material scale
+    restitution_scale: jnp.ndarray  # [K,4]
 
     @staticmethod
     def empty(K: int) -> "ContactResult":
@@ -47,6 +49,8 @@ class ContactResult:
             normal=jnp.zeros((K, 4, 3)),
             distance=jnp.zeros((K, 4)),
             attachment=jnp.zeros((K, 4), jnp.int32),
+            friction_scale=jnp.ones((K, 4)),
+            restitution_scale=jnp.ones((K, 4)),
         )
 
     def swapped(self) -> "ContactResult":
@@ -62,6 +66,8 @@ class ContactResult:
             normal=-self.normal,
             distance=self.distance,
             attachment=attach,
+            friction_scale=self.friction_scale,
+            restitution_scale=self.restitution_scale,
         )
 
 
@@ -72,7 +78,8 @@ def axis_onehot(axis_f):
 
 
 def make_result(pos_a, orn_a, pos_b, orn_b, p_world_a, p_world_b, normal,
-                distance, point_valid, attachment, threshold):
+                distance, point_valid, attachment, threshold,
+                friction_scale=None, restitution_scale=None):
     """Assemble a ContactResult from world-space contact data.
 
     p_world_a/p_world_b: [K,4,3] contact points on each body's surface in
@@ -82,6 +89,7 @@ def make_result(pos_a, orn_a, pos_b, orn_b, p_world_a, p_world_b, normal,
     point_valid = point_valid & (distance < threshold)
     pivot_a = quat.rotate_inv(orn_a[:, None, :], p_world_a - pos_a[:, None, :])
     pivot_b = quat.rotate_inv(orn_b[:, None, :], p_world_b - pos_b[:, None, :])
+    ones = jnp.ones_like(distance)
     return ContactResult(
         point_valid=point_valid,
         pivot_a=pivot_a,
@@ -89,6 +97,9 @@ def make_result(pos_a, orn_a, pos_b, orn_b, p_world_a, p_world_b, normal,
         normal=jnp.broadcast_to(normal, pivot_a.shape),
         distance=distance,
         attachment=jnp.broadcast_to(attachment, point_valid.shape).astype(jnp.int32),
+        friction_scale=friction_scale if friction_scale is not None else ones,
+        restitution_scale=(restitution_scale if restitution_scale is not None
+                           else ones),
     )
 
 

@@ -43,17 +43,14 @@ def _expand_children(state, body_idx, reps_other=1):
         verts=cx.verts[r], vert_mask=cx.vert_mask[r] & flat(mask)[:, None],
         radius=cx.radius[r],
         face_normals=cx.face_normals[r], face_mask=cx.face_mask[r],
-        edge_dirs=cx.edge_dirs[r], edge_mask=cx.edge_mask[r])
+        edge_dirs=cx.edge_dirs[r], edge_mask=cx.edge_mask[r],
+        disc_r=cx.disc_r[r], disc_axis=cx.disc_axis[r])
     return side, flat(mask), CH
 
 
 def _rep_side(S: Side, n: int) -> Side:
-    rep = lambda x: jnp.repeat(x, n, axis=0)
-    return Side(pos=rep(S.pos), orn=rep(S.orn), params=rep(S.params),
-                verts=rep(S.verts), vert_mask=rep(S.vert_mask),
-                radius=rep(S.radius), face_normals=rep(S.face_normals),
-                face_mask=rep(S.face_mask), edge_dirs=rep(S.edge_dirs),
-                edge_mask=rep(S.edge_mask))
+    from .support import side_map
+    return side_map(lambda x: jnp.repeat(x, n, axis=0), S)
 
 
 def _fold(res: ContactResult, sub_valid, K, SUB, A_body: Side, B_body: Side,
@@ -80,6 +77,8 @@ def _fold(res: ContactResult, sub_valid, K, SUB, A_body: Side, B_body: Side,
         normal=take(res.normal),
         distance=take(res.distance),
         attachment=jnp.zeros((K, 4), jnp.int32),
+        friction_scale=take(res.friction_scale),
+        restitution_scale=take(res.restitution_scale),
     )
 
 
@@ -100,6 +99,24 @@ def collide_compound_plane(state, ka, kb, A: Side, B: Side, threshold):
     return _fold(res, mask, K, CH, A, B, sub_A, sub_B)
 
 
+def collide_compound_mesh(state, ka, kb, A: Side, B: Side, threshold,
+                          rim_axes: bool = False):
+    """A = compound body, B = static triangle-mesh body (reference:
+    collide_compound_mesh, src/edyn/collision/collide/collide_compound_mesh.cpp
+    — per-child recursion into the trimesh). Children expand exactly like
+    compound-vs-convex, then each (child, mesh) sub-pair runs the unified
+    convex-vs-mesh kernel and the sub-results fold back to <=4 points."""
+    from .mesh import collide_convex_mesh
+    K = A.pos.shape[0]
+    sub_A, mask, CH = _expand_children(state, ka)
+    sub_B = _rep_side(B, CH)
+    mesh_idx = jnp.repeat(state.shape_index[kb], CH, axis=0)
+    res = collide_convex_mesh(sub_A, sub_B, threshold,
+                              mesh_table=state.mesh, mesh_index=mesh_idx,
+                              rim_axes=rim_axes)
+    return _fold(res, mask, K, CH, A, B, sub_A, sub_B)
+
+
 def collide_compound_compound(state, ka, kb, A: Side, B: Side, threshold):
     K = A.pos.shape[0]
     sub_A, mask_a, CHA = _expand_children(state, ka)
@@ -111,9 +128,8 @@ def collide_compound_compound(state, ka, kb, A: Side, B: Side, threshold):
     tile = lambda x: jnp.repeat(
         x.reshape((K, CHB) + x.shape[1:]), CHA, axis=0).reshape(
             (K * CHA * CHB,) + x.shape[1:])
-    tileB = Side(**{f: tile(getattr(sub_B, f)) for f in (
-        "pos", "orn", "params", "verts", "vert_mask", "radius",
-        "face_normals", "face_mask", "edge_dirs", "edge_mask")})
+    from .support import side_map
+    tileB = side_map(tile, sub_B)
     mask_b_t = tile(mask_b)
     res = collide_support(repA, tileB, threshold)
     return _fold(res, mask_a_r & mask_b_t, K, CHA * CHB, A, B, repA, tileB)

@@ -34,7 +34,7 @@ FACE_COS = 0.999
 
 
 def collide_convex_mesh(A: Side, B: Side, threshold, mesh_table=None,
-                        mesh_index=None):
+                        mesh_index=None, rim_axes: bool = True):
     """A = unified convex body, B = static mesh body."""
     assert mesh_table is not None
     K = A.pos.shape[0]
@@ -73,12 +73,11 @@ def collide_convex_mesh(A: Side, B: Side, threshold, mesh_table=None,
         face_mask=jnp.ones((F, 1), bool),
         edge_dirs=_edge_dirs(tv_f),
         edge_mask=jnp.ones((F, 3), bool),
+        disc_r=jnp.zeros((F,)),
+        disc_axis=jnp.zeros((F, 3)).at[:, 2].set(1.0),
     )
-    A_rep = Side(
-        pos=rep(A.pos), orn=rep(A.orn), params=rep(A.params),
-        verts=rep(A.verts), vert_mask=rep(A.vert_mask), radius=rep(A.radius),
-        face_normals=rep(A.face_normals), face_mask=rep(A.face_mask),
-        edge_dirs=rep(A.edge_dirs), edge_mask=rep(A.edge_mask))
+    from .support import side_map
+    A_rep = side_map(rep, A)
 
     # admissible-axis filter: Voronoi wedge of the triangle support feature
     cos_adj = vec.dot(adj_f, tn_f[:, None, :])             # [F,3] per edge
@@ -109,7 +108,8 @@ def collide_convex_mesh(A: Side, B: Side, threshold, mesh_table=None,
 
     res = collide_support(A_rep, tri_side, threshold,
                           axis_validity=axis_validity,
-                          orient_ref=tn_f, clamp_flat=False)  # [F,4]
+                          orient_ref=tn_f, clamp_flat=False,
+                          rim_axes=rim_axes)  # [F,4]
     pv = res.point_valid & ids_ok.reshape(F)[:, None]
     pv &= vec.dot(res.normal, tn_f[:, None, :]) > 0.0
 
@@ -123,6 +123,10 @@ def collide_convex_mesh(A: Side, B: Side, threshold, mesh_table=None,
                             res.distance.reshape(K, C4),
                             pv.reshape(K, C4))
     take = lambda x: gather_points(x.reshape((K, C4) + x.shape[2:]), idx4)
+    # per-triangle material scale rides each point (Design.md:199-203)
+    tri_fr = jnp.repeat(mesh_table.tri_friction[mi[:, None], ids_c], 4, axis=1)
+    tri_re = jnp.repeat(mesh_table.tri_restitution[mi[:, None], ids_c], 4,
+                        axis=1)
     return ContactResult(
         point_valid=pv4,
         pivot_a=take(res.pivot_a),
@@ -131,6 +135,8 @@ def collide_convex_mesh(A: Side, B: Side, threshold, mesh_table=None,
         normal=take(res.normal),
         distance=take(res.distance),
         attachment=jnp.full((K, 4), 0, jnp.int32),
+        friction_scale=gather_points(tri_fr, idx4),
+        restitution_scale=gather_points(tri_re, idx4),
     )
 
 

@@ -50,6 +50,7 @@ def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid) -> ContactTa
         f(old.lifetime), f(old.normal_impulse),           # 11, 12
         old.friction_impulse, f(old.spin_impulse),        # 13:15, 15
         old.roll_impulse, f(old.point_valid),             # 16:18, 18
+        f(old.friction_scale), f(old.restitution_scale),  # 19, 20
     ], axis=-1)
     g = jnp.where(matched[:, None, None], pk[idx], 0.0)
 
@@ -69,6 +70,8 @@ def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid) -> ContactTa
         friction_impulse=g[..., 13:15],
         spin_impulse=g[..., 15],
         roll_impulse=g[..., 16:18],
+        friction_scale=g[..., 19],
+        restitution_scale=g[..., 20],
     )
 
 
@@ -86,7 +89,8 @@ def _manifold_score(p0, p1, p2, p3):
 
 def merge_points(man: ContactTable, new_pivot_a, new_pivot_b, new_local_normal,
                  new_attachment, new_distance, new_point_valid,
-                 pose=None, dt: float = 1.0 / 60.0) -> ContactTable:
+                 pose=None, dt: float = 1.0 / 60.0,
+                 scales=None) -> ContactTable:
     """Merge freshly detected points into the carried-over manifold with the
     reference's RETENTION semantics (process_collision,
     include/edyn/util/collision_util.hpp:105-276, batched):
@@ -166,12 +170,16 @@ def merge_points(man: ContactTable, new_pivot_a, new_pivot_b, new_local_normal,
 
     # --- adopt fresh geometry for matched slots (packed) ---
     f = lambda x: x.astype(jnp.float32)[..., None]
+    if scales is None:
+        scales = jnp.ones(new_distance.shape + (2,))
     new_geom = jnp.concatenate([
         new_pivot_a, new_pivot_b, new_local_normal,
-        f(new_attachment), f(new_distance)], axis=-1)            # [M,N,11]
+        f(new_attachment), f(new_distance), scales], axis=-1)    # [M,N,13]
     old_geom = jnp.concatenate([
         man.pivot_a, man.pivot_b, man.local_normal,
-        f(man.normal_attachment), f(man.distance)], axis=-1)     # [M,O,11]
+        f(man.normal_attachment), f(man.distance),
+        man.friction_scale[..., None],
+        man.restitution_scale[..., None]], axis=-1)              # [M,O,13]
     adopted = jnp.take_along_axis(new_geom, nearest_n[..., None], axis=1)
     geom = jnp.where(matched[..., None], adopted, old_geom)
 
@@ -255,4 +263,6 @@ def merge_points(man: ContactTable, new_pivot_a, new_pivot_b, new_local_normal,
         friction_impulse=imp[..., 1:3],
         spin_impulse=imp[..., 3],
         roll_impulse=imp[..., 4:6],
+        friction_scale=geom[..., 11],
+        restitution_scale=geom[..., 12],
     )

@@ -9,11 +9,15 @@ CLASSES rather than type pairs — on TPU, each bucket costs a kernel
 invocation and launch overhead dominates, so the whole convex matrix runs
 through the unified support-SAT kernel (shapes/convex.py rationale):
 
-  1. UNIFIED    — any convex vs convex (exact for sphere/capsule/box/poly)
-  2. BOXBOX     — box vs box (bespoke SAT face clipping for stack quality)
-  3. PLANE      — any convex vs plane (unified cloud-vs-halfspace)
-  4. CYLPLANE   — cylinder vs plane (bespoke exact rim kernel)
-  5. MESH       — any convex vs triangle mesh (unified, Voronoi-filtered)
+  1. UNIFIED    — any convex vs convex (exact for sphere/capsule/box/
+                  cylinder/poly via disc-swept support + feature-slab clip)
+  2. BOXBOX     — box vs box (bespoke SAT face clipping: its full polygon
+                  clip yields deeper-quality patches than the support-sampled
+                  patch — stacks collapse without it, measured r2)
+  3. PLANE      — any convex vs plane (unified cloud+rim vs halfspace;
+                  cylinders exact via disc rim candidates — the bespoke
+                  cylinder-plane bucket is folded in, one launch fewer)
+  4. MESH       — any convex vs triangle mesh (unified, Voronoi-filtered)
 
 Results scatter into the manifold table and merge with persistent points for
 warm-start continuity (manifold.merge_points).
@@ -27,7 +31,8 @@ from ..shapes.params import ShapeType
 from .kernels import box_box, primitives
 from .kernels.common import ContactResult
 from .kernels.compound import (
-    collide_compound_compound, collide_compound_convex, collide_compound_plane,
+    collide_compound_compound, collide_compound_convex, collide_compound_mesh,
+    collide_compound_plane,
 )
 from .kernels.mesh import collide_convex_mesh
 from .kernels.plane_unified import collide_convex_plane
@@ -39,7 +44,7 @@ S = ShapeType
 
 # bucket classes
 B_UNIFIED, B_BOXBOX, B_PLANE, B_CYLPLANE, B_MESH = 0, 1, 2, 3, 4
-B_COMP_CONVEX, B_COMP_PLANE, B_COMP_COMP = 5, 6, 7
+B_COMP_CONVEX, B_COMP_PLANE, B_COMP_COMP, B_COMP_MESH = 5, 6, 7, 8
 
 
 def _is_convex(t):
@@ -61,9 +66,6 @@ def classify(ta, tb):
     plane_b = _is_convex(ta) & (tb == S.PLANE)
     plane_a = (ta == S.PLANE) & _is_convex(tb)
     cls = jnp.where(plane_a | plane_b, B_PLANE, cls)
-    cylpl = ((ta == S.CYLINDER) & (tb == S.PLANE)) | \
-        ((ta == S.PLANE) & (tb == S.CYLINDER))
-    cls = jnp.where(cylpl, B_CYLPLANE, cls)
     mesh_b = _is_convex(ta) & _is_mesh(tb)
     mesh_a = _is_mesh(ta) & _is_convex(tb)
     cls = jnp.where(mesh_a | mesh_b, B_MESH, cls)
@@ -74,9 +76,11 @@ def classify(ta, tb):
     cls = jnp.where((comp_a & (tb == S.PLANE)) | ((ta == S.PLANE) & comp_b),
                     B_COMP_PLANE, cls)
     cls = jnp.where(comp_a & comp_b, B_COMP_COMP, cls)
+    cls = jnp.where((comp_a & _is_mesh(tb)) | (_is_mesh(ta) & comp_b),
+                    B_COMP_MESH, cls)
     # swap so the convex/compound lead side is A
     swap = plane_a | mesh_a | (_is_convex(ta) & comp_b) | \
-        ((ta == S.PLANE) & comp_b)
+        ((ta == S.PLANE) & comp_b) | (_is_mesh(ta) & comp_b)
     return cls, swap
 
 
@@ -88,16 +92,18 @@ def _gather_side(state, idx) -> Side:
                 radius=cx.radius[idx],
                 face_normals=cx.face_normals[idx],
                 face_mask=cx.face_mask[idx],
-                edge_dirs=cx.edge_dirs[idx], edge_mask=cx.edge_mask[idx])
+                edge_dirs=cx.edge_dirs[idx], edge_mask=cx.edge_mask[idx],
+                disc_r=cx.disc_r[idx], disc_axis=cx.disc_axis[idx])
 
 
 def _compact_sel(mask, cap: int, fill: int):
     """Ascending indices of set bits padded with ``fill`` — cumsum/scatter
-    compaction instead of jnp.nonzero's sort lowering (dispatch-lean)."""
+    compaction instead of jnp.nonzero's sort lowering (dispatch-lean).
+    Returns (indices, ok, dropped-count)."""
     from .broadphase import _compact
-    loc, _cnt = _compact(mask, cap)
+    loc, cnt = _compact(mask, cap)
     ok = loc >= 0
-    return jnp.where(ok, loc, fill), ok
+    return jnp.where(ok, loc, fill), ok, jnp.maximum(cnt - cap, 0)
 
 
 def _classes_present(types_present: frozenset):
@@ -111,8 +117,6 @@ def _classes_present(types_present: frozenset):
         out.append(B_BOXBOX)
     if S.PLANE in types_present and conv:
         out.append(B_PLANE)
-        if S.CYLINDER in types_present:
-            out.append(B_CYLPLANE)
     if (S.MESH in types_present or S.PAGED_MESH in types_present) and conv:
         out.append(B_MESH)
     if S.COMPOUND in types_present:
@@ -121,11 +125,26 @@ def _classes_present(types_present: frozenset):
         if S.PLANE in types_present:
             out.append(B_COMP_PLANE)
         out.append(B_COMP_COMP)
+        if S.MESH in types_present or S.PAGED_MESH in types_present:
+            out.append(B_COMP_MESH)
     return out
 
 
+def _use_pallas(mode):
+    """Static decision: run the unified bucket as the Pallas mega-kernel.
+    None = auto (TPU-family backends only — the CPU interpreter is slow)."""
+    if mode is not None:
+        return bool(mode)
+    import jax
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def update_contacts(state, man, threshold: float, types_present: frozenset,
-                    bucket_cap: int | None = None, dt: float = 1.0 / 60.0):
+                    bucket_cap: int | None = None, dt: float = 1.0 / 60.0,
+                    pallas_mode=None):
     """Run the applicable bucket-class kernels over the manifold pair list and
     merge fresh points into ``man`` (the carried-over manifold table)."""
     M = man.key.shape[0]
@@ -135,13 +154,16 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     cls, swap = classify(ta, tb)
     cls = jnp.where(man.valid, cls, -1)
 
-    # packed per-bucket results scatter into ONE [M,4,12] buffer (same layout
-    # as solver.pack_manifold_points: pivot_a 0:3 | pivot_b 3:6 | normal 6:9 |
-    # attachment 9 | distance 10 | point_valid 11)
-    new_pts = jnp.zeros((M, 4, 12))
+    # packed per-bucket results scatter into ONE [M,4,14] buffer (superset of
+    # solver.pack_manifold_points: pivot_a 0:3 | pivot_b 3:6 | normal 6:9 |
+    # attachment 9 | distance 10 | point_valid 11 | friction_scale 12 |
+    # restitution_scale 13)
+    new_pts = jnp.zeros((M, 4, 14))
+    dropped = jnp.zeros((), jnp.int32)
 
     from .kernels.support import pack_side_table, side_from_packed
     packed, dims = pack_side_table(state)
+    use_pallas = _use_pallas(pallas_mode)
 
     present = _classes_present(types_present)
 
@@ -149,18 +171,43 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         want = cls == bucket
         this_cap = cap if bucket in (B_UNIFIED, B_PLANE, B_BOXBOX) else \
             max(256, cap // 4)
-        sel, sel_ok = _compact_sel(want, this_cap, M)
+        sel, sel_ok, bucket_dropped = _compact_sel(want, this_cap, M)
+        dropped = dropped + bucket_dropped
         sel_c = jnp.minimum(sel, M - 1)
         a = man.body_a[sel_c]
         b = man.body_b[sel_c]
         sw = swap[sel_c]
         ka = jnp.where(sw, b, a)
         kb = jnp.where(sw, a, b)
+
+        has_cyl = S.CYLINDER in types_present
+        if bucket == B_UNIFIED and use_pallas:
+            # the whole bucket as ONE Pallas mega-kernel (gather -> kernel ->
+            # scatter: 3 dispatches instead of ~300 on a launch-bound runtime)
+            from .kernels.pallas_unified import (
+                BLK, collide_support_pallas, pack_side_table_t)
+            packed_t, dims_t = pack_side_table_t(state)
+            Kp = -(-this_cap // BLK) * BLK
+            ka_p = jnp.pad(ka, (0, Kp - this_cap))
+            kb_p = jnp.pad(kb, (0, Kp - this_cap))
+            blk_out = collide_support_pallas(
+                packed_t[:, ka_p], packed_t[:, kb_p], dims_t,
+                float(threshold), rim_axes=has_cyl)[:this_cap]
+            pv = (blk_out[..., 11] > 0.5) & sel_ok[:, None]
+            blk = jnp.concatenate([
+                blk_out[..., :11],
+                pv.astype(jnp.float32)[..., None],
+                jnp.ones(blk_out.shape[:2] + (2,)),
+            ], axis=-1)
+            new_pts = new_pts.at[sel].set(blk, mode="drop")
+            continue
+
         A = side_from_packed(packed[ka], dims)
         B = side_from_packed(packed[kb], dims)
 
         if bucket == B_UNIFIED:
-            res: ContactResult = collide_support(A, B, threshold)
+            res: ContactResult = collide_support(A, B, threshold,
+                                                 rim_axes=has_cyl)
         elif bucket == B_BOXBOX:
             res = box_box.collide_box_box(A.pos, A.orn, A.params,
                                           B.pos, B.orn, B.params, threshold)
@@ -172,12 +219,16 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         elif bucket == B_MESH:
             res = collide_convex_mesh(A, B, threshold,
                                       mesh_table=state.mesh,
-                                      mesh_index=state.shape_index[kb])
+                                      mesh_index=state.shape_index[kb],
+                                      rim_axes=has_cyl)
         elif bucket == B_COMP_CONVEX:
             # A = compound; swap orientation: the convex other body is B
             res = collide_compound_convex(state, ka, kb, A, B, threshold)
         elif bucket == B_COMP_PLANE:
             res = collide_compound_plane(state, ka, kb, A, B, threshold)
+        elif bucket == B_COMP_MESH:
+            res = collide_compound_mesh(state, ka, kb, A, B, threshold,
+                                        rim_axes=has_cyl)
         else:  # B_COMP_COMP
             res = collide_compound_compound(state, ka, kb, A, B, threshold)
 
@@ -191,7 +242,9 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
 
         blk = jnp.concatenate([
             pa, pb, nr, at.astype(jnp.float32)[..., None], ds[..., None],
-            pv.astype(jnp.float32)[..., None]], axis=-1)
+            pv.astype(jnp.float32)[..., None],
+            res.friction_scale[..., None], res.restitution_scale[..., None],
+        ], axis=-1)
         new_pts = new_pts.at[sel].set(blk, mode="drop")
 
     new_pivot_a = new_pts[..., 0:3]
@@ -200,6 +253,7 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     new_attach = new_pts[..., 9].astype(jnp.int32)
     new_dist = new_pts[..., 10]
     new_valid = new_pts[..., 11] > 0.5
+    new_scales = new_pts[..., 12:14]
 
     # store normal in attachment body's object space (reference:
     # contact_point_geometry local normal; re-rotated at row build and in the
@@ -221,4 +275,5 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
             rolling[man.body_b])
 
     return merge_points(man, new_pivot_a, new_pivot_b, local_n, new_attach,
-                        new_dist, new_valid, pose=pose, dt=dt)
+                        new_dist, new_valid, pose=pose, dt=dt,
+                        scales=new_scales), dropped

@@ -204,6 +204,41 @@ def raycast(state, p0, p1, max_candidates: int = 16):
         better = is_mesh & (t_m < t_l)
         t_l = jnp.where(better, t_m, t_l)
         n_l = jnp.where(better[:, None], n_m, n_l)
+
+    # COMPOUND candidates: per-child exact raycast, min over children
+    # (reference: raycast.cpp:323 compound dispatch into child shapes)
+    ct = state.compound
+    if ct.child_row.shape[0] > 0:
+        is_comp = state.shape_type[flat] == ShapeType.COMPOUND
+        ci = jnp.clip(state.shape_index[flat], 0, ct.child_row.shape[0] - 1)
+        CH = ct.child_row.shape[1]
+        rows = jnp.maximum(ct.child_row[ci], 0)              # [C,CH]
+        cmask = ct.child_mask[ci]
+        cpos = ct.child_pos[ci]
+        corn = ct.child_orn[ci]
+        ctype = ct.child_type[ci].reshape(-1)
+        cprm = ct.child_params[ci].reshape(-1, 4)
+        p0_c = quat.rotate_inv(corn, p0_l[:, None, :] - cpos)
+        d_c = quat.rotate_inv(corn, d_l[:, None, :])
+        CC = C * CH
+        cx = state.convex
+        rflat = rows.reshape(-1)
+        fm_c = cx.face_mask[rflat] & \
+            (ctype == ShapeType.POLYHEDRON)[:, None]
+        t_c, n_c = _ray_shape_local(
+            ctype, cprm, cx.verts[rflat], cx.vert_mask[rflat],
+            cx.face_normals[rflat], fm_c,
+            p0_c.reshape(CC, 3), d_c.reshape(CC, 3))
+        t_c = jnp.where(cmask.reshape(-1), t_c, BIG).reshape(C, CH)
+        n_b = quat.rotate(corn.reshape(CC, 4), n_c).reshape(C, CH, 3)
+        bi = jnp.argmin(t_c, axis=1)
+        t_comp = jnp.take_along_axis(t_c, bi[:, None], 1)[:, 0]
+        n_comp = jnp.take_along_axis(
+            n_b, bi[:, None, None].repeat(3, -1), 1)[:, 0]
+        better = is_comp & (t_comp < t_l)
+        t_l = jnp.where(better, t_comp, t_l)
+        n_l = jnp.where(better[:, None], n_comp, n_l)
+
     t = jnp.where(cand_ok.reshape(-1), t_l, BIG).reshape(Q, H)
     n_w = quat.rotate(orn_c, n_l).reshape(Q, H, 3)
 

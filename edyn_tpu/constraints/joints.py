@@ -83,7 +83,7 @@ def pack_joints(joint_dicts: list, J: int) -> JointTable:
     pivot_b = np.zeros((J, 3), np.float32)
     frame_a = np.zeros((J, 4), np.float32); frame_a[:, 3] = 1
     frame_b = np.zeros((J, 4), np.float32); frame_b[:, 3] = 1
-    params = np.zeros((J, 20), np.float32)
+    params = np.zeros((J, 60), np.float32)
     for i, jd in enumerate(joint_dicts):
         jtype[i] = jd["jtype"]
         body_a[i] = jd["body_a"]
@@ -167,9 +167,11 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     relvel_at = lambda d: (vec.dot(d, va) + vec.dot(vec.cross(rA, d), wa)
                            - vec.dot(d, vb) - vec.dot(vec.cross(rB, d), wb))
 
-    # --- point / hinge / cvjoint / generic share 3 positional lock rows ---
+    # --- point / hinge / cvjoint share 3 positional lock rows (generic's
+    # linear DOFs are per-axis limit rows below, reference
+    # generic_constraint.cpp:22-125) ---
     point_like = is_(JointType.POINT) | is_(JointType.HINGE) | \
-        is_(JointType.CVJOINT) | is_(JointType.GENERIC)
+        is_(JointType.CVJOINT)
     world_axes = jnp.eye(3)
     for k in range(3):
         d = jnp.broadcast_to(world_axes[k], (Jn, 3))
@@ -201,9 +203,31 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
             -d_dir, -vec.cross(rB, d_dir), -relvel_at(d_dir),
             lo=-damp_imp, hi=damp_imp)
 
-    # --- hinge: 2 angular alignment rows + limits + friction/damping/spring ---
+    # --- tracked continuous twist/hinge angle (reference: update_angle state
+    # on hinge/cvjoint/generic) — wraps accumulate so limits beyond +-pi work.
+    # Twist measured after removing bend via shortest_arc (reference
+    # cvjoint_constraint::relative_angle, generic_constraint.cpp:136-145);
+    # for an aligned hinge this reduces to the plain atan2 formula.
+    arc = quat.shortest_arc(ax_b, ax_a)
+    yb_in_a = quat.rotate(quat.mul(quat.conjugate(orn_a),
+                                   quat.mul(arc, orn_b)),
+                          quat.rotate(jt.frame_b, jnp.broadcast_to(
+                              jnp.array([0.0, 1.0, 0.0]), (Jn, 3))))
+    fy_a = quat.rotate(jt.frame_a, jnp.broadcast_to(
+        jnp.array([0.0, 1.0, 0.0]), (Jn, 3)))
+    fz_a = quat.rotate(jt.frame_a, jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0]), (Jn, 3)))
+    inst_angle = jnp.arctan2(vec.dot(yb_in_a, fz_a), vec.dot(yb_in_a, fy_a))
+    two_pi = 2.0 * jnp.pi
+    delta = inst_angle - jnp.mod(jt.angle + jnp.pi, two_pi) + jnp.pi
+    delta = jnp.mod(delta + jnp.pi, two_pi) - jnp.pi
+    angle = jt.angle + delta
+    new_angle = jnp.where(jvalid, angle, jt.angle)
+
+    # --- hinge: 2 angular alignment rows + limits + friction/damping/spring
+    # + bump stop (reference: hinge_constraint.cpp) ---
     # params: [limit_min, limit_max, limit_restitution, bump_stop_stiffness,
-    #          bump_stop_len, friction_torque, damping, spring_stiffness,
+    #          bump_stop_angle, friction_torque, damping, spring_stiffness,
     #          spring_rest_angle, has_limit]
     hinge = is_(JointType.HINGE)
     # Alignment: rotation-error vector err = ax_b x ax_a is the small-angle
@@ -215,21 +239,19 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
         relw_u = vec.dot(u, wa) - vec.dot(u, wb)
         r = -(vec.dot(u, err_axis) / dt * ERP + relw_u)
         set_row(3 + k, hinge, zero3, u, zero3, -u, r)
-    # hinge angle of B relative to A about the axis
-    sin_a = vec.dot(vec.cross(ay_a, ay_b), ax_a)
-    cos_a = vec.dot(ay_a, ay_b)
-    angle = jnp.arctan2(sin_a, cos_a)
     relw = vec.dot(ax_a, wa) - vec.dot(ax_a, wb)  # = -d(angle)/dt
     has_limit = jt.params[:, 9] > 0.5
     lim_min = jt.params[:, 0]
     lim_max = jt.params[:, 1]
+    lim_rest = jt.params[:, 2]
     below = angle < lim_min
     above = angle > lim_max
     lim_err = jnp.where(below, angle - lim_min,
                         jnp.where(above, angle - lim_max, 0.0))
     # target J.v = +lim_err*erp/dt (J.v = -dangle/dt): pushes angle back into
-    # range; one-sided impulse sign per side
-    r_lim = lim_err / dt * ERP - relw
+    # range; one-sided impulse sign per side; limit restitution bounces the
+    # angular velocity (reference: options.restitution on the limit row)
+    r_lim = lim_err / dt * ERP - relw * (1.0 + lim_rest)
     lo_lim = jnp.where(below, -BIG, 0.0)
     hi_lim = jnp.where(below, 0.0, BIG)
     set_row(5, hinge & has_limit & (below | above), zero3, ax_a, zero3, -ax_a,
@@ -247,6 +269,18 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     spr_imp = spring_k * (angle - rest_ang) * dt
     set_row(7, hinge & (spring_k > 0), zero3, ax_a, zero3, -ax_a,
             jnp.zeros(Jn), lo=spr_imp, hi=spr_imp)
+    # bump stop: one-sided spring near each limit (reference:
+    # hinge_constraint.hpp:29-57 bump_stop_angle/stiffness)
+    bump_k = jt.params[:, 3]
+    bump_ang = jt.params[:, 4]
+    bmin = lim_min + bump_ang
+    bmax = lim_max - bump_ang
+    bump_defl = jnp.where(angle < bmin, angle - bmin,
+                          jnp.where(angle > bmax, angle - bmax, 0.0))
+    bump_imp = bump_k * bump_defl * dt
+    set_row(8, hinge & has_limit & (bump_k > 0) & (bump_ang > 0),
+            zero3, ax_a, zero3, -ax_a, bump_defl / dt * ERP - relw,
+            lo=jnp.minimum(bump_imp, 0.0), hi=jnp.maximum(bump_imp, 0.0))
 
     # --- cone: keep B's x-axis inside elliptic cone around A's x-axis ---
     # params: [span_y_tan, span_z_tan] (reference: cone_constraint.cpp)
@@ -269,22 +303,176 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     r_cone = viol * 0.5 / dt * ERP - relw_c
     set_row(8, violated, zero3, u_corr, zero3, -u_corr, r_cone, lo=0.0, hi=BIG)
 
-    # --- generic: angular lock rows from the frame rotation-error vector ---
-    # params: ang_lock_mask[0:3] (1 = locked)
+    # --- generic 6-DOF: per-DOF limit / bump-stop / spring / friction rows
+    # (reference: generic_constraint.cpp:1-330). params layout: 6 DOFs
+    # (3 linear along frame-A axes, then 3 angular), 10 values each at
+    # base d*10: [limit_enabled, min, max, limit_restitution,
+    # bump_stop_size, bump_stop_stiffness, friction, rest,
+    # spring_stiffness, damping]. Row slots: d*4 + (0 limit | 1 bump |
+    # 2 spring | 3 friction/damping).
     gen = is_(JointType.GENERIC)
-    err_frame = 0.5 * (vec.cross(ax_b, ax_a) + vec.cross(ay_b, ay_a)
-                       + vec.cross(az_b, az_a))
-    for k, u in enumerate((ax_a, ay_a, az_a)):
-        locked = gen & (jt.params[:, k] > 0.5)
-        relw_u = vec.dot(u, wa) - vec.dot(u, wb)
-        r = -(vec.dot(u, err_frame) / dt * ERP + relw_u)
-        set_row(3 + k, locked, zero3, u, zero3, -u, r)
+    axes_a = (ax_a, ay_a, az_a)
+    pivot_off = pb_w - pa_w
 
-    # --- cvjoint: twist alignment about the primary axis ---
+    # angular DOF current angles (reference:136-160): dof 0 = tracked twist;
+    # dof 1 = asin(dot(axisB_x, axisA_z)); dof 2 = asin(dot(axisB_x, axisA_y))
+    ang1 = jnp.arcsin(jnp.clip(vec.dot(ax_b, az_a), -1.0, 1.0))
+    ang2 = jnp.arcsin(jnp.clip(vec.dot(ax_b, ay_a), -1.0, 1.0))
+    ax1 = vec.normalize_or(vec.cross(az_a, ax_b),
+                           jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                                            (Jn, 3)))
+    ax2 = vec.normalize_or(vec.cross(ay_a, ax_b),
+                           jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]),
+                                            (Jn, 3)))
+
+    for d in range(6):
+        base = d * 10
+        p_en = jt.params[:, base + 0] > 0.5
+        p_min = jt.params[:, base + 1]
+        p_max = jt.params[:, base + 2]
+        p_rst = jt.params[:, base + 3]
+        p_bsz = jt.params[:, base + 4]
+        p_bk = jt.params[:, base + 5]
+        p_fr = jt.params[:, base + 6]
+        p_rest = jt.params[:, base + 7]
+        p_k = jt.params[:, base + 8]
+        p_dmp = jt.params[:, base + 9]
+        nz_lim = p_min < p_max
+
+        if d < 3:  # linear along frame-A axis d
+            u = axes_a[d]
+            jla, jaa, jlb, jab = u, vec.cross(rA, u), -u, -vec.cross(rB, u)
+            # J.v = d(offset_proj)/dt with offset = pivotB - pivotA projected
+            # on u... reference J is +u on A, so J.v = -d(offset)/dt
+            coord = vec.dot(pivot_off, u)
+            relv = relvel_at(u)
+        else:      # angular about frame axis
+            k = d - 3
+            u = (ax_a, -ax1, -ax2)[k]
+            jla = jlb = zero3
+            jaa, jab = u, -u
+            coord = (angle, ang1, ang2)[k]
+            relv = vec.dot(u, wa) - vec.dot(u, wb)
+
+        # relationship: J.v = -d(coord)/dt for angular dof0 (J = +ax_a;
+        # d(angle)/dt = -relw) and for linear (J = +u on A: moving A along u
+        # SHRINKS offset = pB - pA). So a positive impulse reduces coord.
+        mid = 0.5 * (p_min + p_max)
+        near_min = coord < mid
+        lim_err = jnp.where(near_min, p_min - coord, p_max - coord)
+        inside = (coord > p_min) & (coord < p_max)
+        # limit row: one-sided when a real range exists, full lock otherwise
+        lo_l = jnp.where(nz_lim, jnp.where(near_min, -BIG, 0.0), -BIG)
+        hi_l = jnp.where(nz_lim, jnp.where(near_min, 0.0, BIG), BIG)
+        # error: reference uses limit_error/dt inside the range (speculative
+        # stop, erp 0.9 for linear limits), nothing when violated for linear
+        # (position solver fixes it), -coord/dt for locked angular; row rhs
+        # convention: rhs = -(error*erp + relvel*(1+restitution))
+        # (src/edyn/constraints/constraint_row.cpp:21)
+        error_v = jnp.where(
+            nz_lim, jnp.where(inside, lim_err / dt, 0.0),
+            jnp.where(d >= 3, -coord / dt, jnp.zeros_like(coord)))
+        r_l = -(error_v * jnp.where(nz_lim & (d < 3), 0.9, ERP)
+                + relv * (1.0 + jnp.where(nz_lim, p_rst, 0.0)))
+        set_row(d * 4 + 0, gen & p_en, jla, jaa, jlb, jab, r_l,
+                lo=lo_l, hi=hi_l)
+
+        # bump stop: one-sided spring near each end of the range
+        bmin_ = p_min + p_bsz
+        bmax_ = p_max - p_bsz
+        defl = jnp.where(coord < bmin_, coord - bmin_,
+                         jnp.where(coord > bmax_, coord - bmax_, 0.0))
+        b_imp = p_bk * defl * dt
+        set_row(d * 4 + 1, gen & p_en & nz_lim & (p_bk > 0) & (p_bsz > 0),
+                jla, jaa, jlb, jab, defl / dt * ERP - relv,
+                lo=jnp.minimum(b_imp, 0.0), hi=jnp.maximum(b_imp, 0.0))
+
+        # spring toward rest coordinate: exact impulse k*(coord-rest)*dt
+        s_defl = coord - p_rest
+        s_imp = p_k * s_defl * dt
+        set_row(d * 4 + 2, gen & (p_k > 0), jla, jaa, jlb, jab,
+                s_defl / dt * ERP - relv,
+                lo=jnp.minimum(s_imp, 0.0), hi=jnp.maximum(s_imp, 0.0))
+
+        # friction + damping
+        f_imp = p_fr * dt + jnp.abs(relv) * p_dmp * dt
+        set_row(d * 4 + 3, gen & ((p_fr > 0) | (p_dmp > 0)), jla, jaa,
+                jlb, jab, -relv, lo=-f_imp, hi=f_imp)
+
+    # --- cvjoint: twist limit/lock + bump stop + spring + friction/damping
+    # about the per-body twist axes, plus bend friction/damping and bend
+    # spring toward rest_direction (reference: cvjoint_constraint.cpp:1-302).
+    # params: [twist_min, twist_max, twist_restitution, bump_stop_angle,
+    # bump_stop_stiffness, friction_torque, rest_angle, stiffness, damping,
+    # rest_direction xyz (9:12), bend_stiffness 12, bend_friction 13,
+    # bend_damping 14]
     cv = is_(JointType.CVJOINT)
-    twist_err = vec.dot(ax_a, vec.cross(ay_b, ay_a))
-    r_tw = -(twist_err / dt * ERP + relw)
-    set_row(3, cv, zero3, ax_a, zero3, -ax_a, r_tw)
+    relw_cv = vec.dot(ax_a, wa) - vec.dot(ax_b, wb)
+    tw_min = jt.params[:, 0]
+    tw_max = jt.params[:, 1]
+    tw_rst = jt.params[:, 2]
+    tw_nz = tw_min < tw_max
+    tw_below = angle < 0.5 * (tw_min + tw_max)
+    tw_err = jnp.where(tw_below, tw_min - angle, tw_max - angle)
+    tw_inside = (angle > tw_min) & (angle < tw_max)
+    r_tw = jnp.where(
+        tw_nz,
+        -(jnp.where(tw_inside, tw_err / dt, 0.0) * ERP
+          + relw_cv * (1.0 + tw_rst)),
+        -relw_cv)
+    lo_tw = jnp.where(tw_nz, jnp.where(tw_below, -BIG, 0.0), -BIG)
+    hi_tw = jnp.where(tw_nz, jnp.where(tw_below, 0.0, BIG), BIG)
+    set_row(3, cv, zero3, ax_a, zero3, -ax_b, r_tw, lo=lo_tw, hi=hi_tw)
+
+    # twist bump stop
+    cb_ang = jt.params[:, 3]
+    cb_k = jt.params[:, 4]
+    cb_min = tw_min + cb_ang
+    cb_max = tw_max - cb_ang
+    cb_defl = jnp.where(angle < cb_min, angle - cb_min,
+                        jnp.where(angle > cb_max, angle - cb_max, 0.0))
+    cb_imp = cb_k * cb_defl * dt
+    set_row(4, cv & tw_nz & (cb_k > 0) & (cb_ang > 0), zero3, ax_a,
+            zero3, -ax_b, cb_defl / dt * ERP - relw_cv,
+            lo=jnp.minimum(cb_imp, 0.0), hi=jnp.maximum(cb_imp, 0.0))
+
+    # twist spring toward rest angle
+    cs_k = jt.params[:, 7]
+    cs_defl = angle - jt.params[:, 6]
+    cs_imp = cs_k * cs_defl * dt
+    set_row(5, cv & (cs_k > 0), zero3, ax_a, zero3, -ax_b,
+            cs_defl / dt * ERP - relw_cv,
+            lo=jnp.minimum(cs_imp, 0.0), hi=jnp.maximum(cs_imp, 0.0))
+
+    # twist friction + damping
+    cf_imp = jt.params[:, 5] * dt + jnp.abs(relw_cv) * jt.params[:, 8] * dt
+    set_row(6, cv & (cf_imp > 0), zero3, ax_a, zero3, -ax_b, -relw_cv,
+            lo=-cf_imp, hi=cf_imp)
+
+    # bend friction + damping: resists the non-twist relative angular
+    # velocity (reference:174-205)
+    wrel_bend = (wa - vec.dot(wa, ax_a)[:, None] * ax_a) \
+        - (wb - vec.dot(wb, ax_b)[:, None] * ax_b)
+    bend_spd = vec.length(wrel_bend)
+    bend_axis = vec.normalize_or(wrel_bend, ay_a)
+    bf_imp = jt.params[:, 13] * dt + bend_spd * jt.params[:, 14] * dt
+    set_row(7, cv & (bf_imp > 0), zero3, bend_axis, zero3, -bend_axis,
+            -(vec.dot(bend_axis, wa) - vec.dot(bend_axis, wb)),
+            lo=-bf_imp, hi=bf_imp)
+
+    # bend spring: torque B's twist axis toward rest_direction (in A's
+    # object space; reference:206-230)
+    rest_dir_w = quat.rotate(orn_a, jt.params[:, 9:12])
+    bspr_axis_raw = vec.cross(rest_dir_w, ax_b)
+    sin_bend = jnp.clip(vec.length(bspr_axis_raw), -1.0, 1.0)
+    bend_angle = jnp.arcsin(sin_bend)
+    bspr_axis = vec.normalize_or(bspr_axis_raw, ay_a)
+    bs_k = jt.params[:, 12]
+    bs_imp = bs_k * bend_angle * dt
+    set_row(8, cv & (bs_k > 0), zero3, bspr_axis, zero3, -bspr_axis,
+            bend_angle / dt * ERP
+            - (vec.dot(bspr_axis, wa) - vec.dot(bspr_axis, wb)),
+            lo=jnp.minimum(bs_imp, 0.0), hi=jnp.maximum(bs_imp, 0.0))
 
     # --- flatten ---
     flat = lambda x: x.reshape((R,) + x.shape[2:])
@@ -311,7 +499,8 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
         valid=valid_r, a=a_r, b=b_r, ab=jnp.concatenate([a_r, b_r]),
         JlA=fJlA, JaA=fJaA, JlB=fJlB, JaB=fJaB,
         inv_mA=inv_mA, inv_mB=inv_mB, tA=tA, tB=tB,
-        eff_mass=em, rhs=flat(rhs), lower=flat(lower), upper=flat(upper))
+        eff_mass=em, rhs=flat(rhs), lower=flat(lower),
+        upper=flat(upper)), new_angle
 
 
 def _apply(rows: JointRows, dlam, dvw):
@@ -364,8 +553,9 @@ def solve_joint_positions(state, num_iterations: int = 3,
 
     is_ = lambda t: jt.jtype == t
     point_like = (is_(JointType.POINT) | is_(JointType.HINGE)
-                  | is_(JointType.CVJOINT) | is_(JointType.GENERIC))
+                  | is_(JointType.CVJOINT))
     axis_align = is_(JointType.HINGE) | is_(JointType.CVJOINT)
+    gen = is_(JointType.GENERIC)
     a, b = jt.body_a, jt.body_b
     ab = jnp.concatenate([a, b])
     jvalid = jt.valid & ~(state.asleep[a] & state.asleep[b])
@@ -436,6 +626,30 @@ def solve_joint_positions(state, num_iterations: int = 3,
         active = jvalid & point_like & (err > 1e-9)
         pos, orn = solve_row(pos, orn, Iw, dirn, vec.cross(rA, dirn),
                              -dirn, -vec.cross(rB, dirn), -err, active)
+
+        # --- generic: per-axis linear limit violation correction
+        # (reference: generic_constraint::solve_position) ---
+        orn_ab = orn[ab]
+        R = quat.to_matrix(orn_ab)
+        Iw = jnp.einsum("rij,rjk,rlk->ril", R, state.inertia_inv[ab], R)
+        qa = quat.mul(orn_ab[:Jn], jt.frame_a)
+        Ma = quat.to_matrix(qa)
+        pos_ab = pos[ab]
+        rA = quat.rotate(orn_ab[:Jn], jt.pivot_a)
+        rB = quat.rotate(orn_ab[Jn:], jt.pivot_b)
+        off = (pos_ab[Jn:] + rB) - (pos_ab[:Jn] + rA)
+        for d_ in range(3):
+            base = d_ * 10
+            p_en = jt.params[:, base] > 0.5
+            p_min = jt.params[:, base + 1]
+            p_max = jt.params[:, base + 2]
+            u = Ma[..., :, d_]
+            proj = vec.dot(off, u)
+            errg = jnp.where(proj < p_min, proj - p_min,
+                             jnp.where(proj > p_max, proj - p_max, 0.0))
+            active = jvalid & gen & p_en & (jnp.abs(errg) > 1e-9)
+            pos, orn = solve_row(pos, orn, Iw, u, vec.cross(rA, u),
+                                 -u, -vec.cross(rB, u), errg, active)
 
     # immovable bodies never moved (inv_m = 0, inertia_inv = 0)
     return dc.replace(state, pos=pos, orn=orn)

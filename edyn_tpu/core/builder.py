@@ -77,6 +77,21 @@ class WorldBuilder:
         self._compound_index: dict[int, int] = {}
         self.exclusions: list[tuple[int, int]] = []
         self.material_mixes: list[tuple[int, int, "Material"]] = []
+        # user/external component specs: name -> (shape, dtype, default)
+        self.user_components: dict[str, tuple] = {}
+
+    def register_component(self, name: str, shape=(), dtype=None,
+                           default=0.0):
+        """Register a user component column [N, *shape] that rides the state
+        pytree, replicates in snapshots, and can be an input-history target
+        (reference: register_external_components,
+        include/edyn/replication/register_external.hpp:28-67)."""
+        import jax.numpy as jnp
+        from ..replication.snapshot import COMPONENT_COLUMNS
+        if name in COMPONENT_COLUMNS:
+            raise ValueError(f"{name!r} is a built-in component")
+        self.user_components[name] = (tuple(shape),
+                                      dtype or jnp.float32, default)
 
     # -- bodies ---------------------------------------------------------
     def make_rigidbody(self, def_: RigidBodyDef) -> int:
@@ -252,7 +267,8 @@ class WorldBuilder:
                         from ..shapes.params import preprocess_polyhedron
                         v = np.asarray(shape.vertices, np.float64)
                         fn, ed = preprocess_polyhedron(v)
-                        data = (v, 0.0, fn, ed)
+                        data = (v, 0.0, fn, ed, 0.0,
+                                np.array([0.0, 0.0, 1.0]))
                     else:
                         data = shape_convex_data(int(ShapeType.POLYHEDRON),
                                                  (pi, 0, 0, 0), poly_np, pi)
@@ -274,6 +290,8 @@ class WorldBuilder:
             c_orn = np.zeros((NC, CH, 4), np.float32)
             c_orn[..., 3] = 1
             c_mask = np.zeros((NC, CH), bool)
+            c_type = np.zeros((NC, CH), np.int32)
+            c_prm = np.zeros((NC, CH, 4), np.float32)
             for ci, (comp, rows_i) in enumerate(zip(self._compounds, comp_rows)):
                 for k, ((shape, lpos, lorn), row) in enumerate(
                         zip(comp.children, rows_i)):
@@ -282,9 +300,16 @@ class WorldBuilder:
                     q = np.asarray(lorn, np.float64)
                     c_orn[ci, k] = q / np.linalg.norm(q)
                     c_mask[ci, k] = True
+                    if isinstance(shape, PolyhedronShape):
+                        c_type[ci, k] = int(ShapeType.POLYHEDRON)
+                    else:
+                        st_c, prm_c = shape.pack()
+                        c_type[ci, k] = int(st_c)
+                        c_prm[ci, k] = prm_c
             compound_table = CompoundTable(
                 child_row=jnp.asarray(c_row), child_pos=jnp.asarray(c_pos),
-                child_orn=jnp.asarray(c_orn), child_mask=jnp.asarray(c_mask))
+                child_orn=jnp.asarray(c_orn), child_mask=jnp.asarray(c_mask),
+                child_type=jnp.asarray(c_type), child_params=jnp.asarray(c_prm))
             # compound bodies' own convex row: bounding sphere for the AABB
             for i, d in enumerate(self.defs):
                 if isinstance(d.shape, CompoundShape):
@@ -296,6 +321,11 @@ class WorldBuilder:
 
         ws = WorldState.zeros(N, M, J, poly, mesh_table, convex,
                               compound_table)
+        if self.user_components:
+            ws = dataclasses.replace(ws, user={
+                name: jnp.full((N,) + shape, default, dtype)
+                for name, (shape, dtype, default)
+                in self.user_components.items()})
         ws = dataclasses.replace(
             ws,
             pos=jnp.asarray(pos), orn=jnp.asarray(orn),
@@ -325,4 +355,11 @@ class WorldBuilder:
                              for _, _, m in self.material_mixes], np.float32)
             ws = dataclasses.replace(ws, mix_table=MixTable(
                 ids=jnp.asarray(ids), vals=jnp.asarray(vals)))
+        # initial AABBs so raycast/query_aabb work before the first step
+        # (the step refreshes them; reference: update_aabbs runs in attach too)
+        from ..shapes.aabb import compute_aabbs
+        amin, amax = compute_aabbs(ws.shape_type, ws.shape_params, ws.pos,
+                                   ws.orn, ws.poly, ws.shape_index, ws.mesh,
+                                   ws.convex)
+        ws = dataclasses.replace(ws, aabb_min=amin, aabb_max=amax)
         return ws

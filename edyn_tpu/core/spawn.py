@@ -108,7 +108,8 @@ def spawn_rigidbody(state: WorldState, d: RigidBodyDef, slot: int | None = None,
         vm_ = np.asarray(p.vert_mask[pi])
         data = (np.asarray(p.verts[pi])[vm_], 0.0,
                 np.asarray(p.face_normals[pi])[np.asarray(p.face_mask[pi])],
-                np.asarray(p.edge_dirs[pi])[np.asarray(p.edge_mask[pi])])
+                np.asarray(p.edge_dirs[pi])[np.asarray(p.edge_mask[pi])],
+                0.0, np.array([0.0, 0.0, 1.0]))
     else:
         data = None
     st = dataclasses.replace(st, convex=update_convex_row(
@@ -120,7 +121,8 @@ def update_convex_row(cx, i: int, stype: int, sparams, data=None):
     """Write one body's unified convex data into the (fixed-width) table.
     The spawned shape must fit the world's padded vert/face/edge widths."""
     from ..shapes.convex import shape_convex_data
-    v, r, f, e = data if data is not None else shape_convex_data(stype, sparams)
+    v, r, f, e, dr, da = (data if data is not None
+                          else shape_convex_data(stype, sparams))
     V = cx.verts.shape[1]
     F = cx.face_normals.shape[1]
     E = cx.edge_dirs.shape[1]
@@ -149,7 +151,9 @@ def update_convex_row(cx, i: int, stype: int, sparams, data=None):
         face_normals=cx.face_normals.at[i].set(jnp.asarray(pad_f)),
         face_mask=cx.face_mask.at[i].set(jnp.asarray(fm)),
         edge_dirs=cx.edge_dirs.at[i].set(jnp.asarray(pad_e)),
-        edge_mask=cx.edge_mask.at[i].set(jnp.asarray(em)))
+        edge_mask=cx.edge_mask.at[i].set(jnp.asarray(em)),
+        disc_r=cx.disc_r.at[i].set(float(dr)),
+        disc_axis=cx.disc_axis.at[i].set(jnp.asarray(da, jnp.float32)))
 
 
 def destroy_rigidbody(state: WorldState, i: int) -> WorldState:

@@ -23,7 +23,7 @@ KIND_KINEMATIC = 1
 KIND_STATIC = 2
 
 MAX_EXCLUSIONS = 16  # reference: comp/collision_exclusion.hpp max_exclusions
-MAX_JOINT_ROWS = 12  # enough for generic 6-DOF + limit/spring/friction rows
+MAX_JOINT_ROWS = 24  # generic 6-DOF x (limit + bump stop + spring + friction) rows
 
 
 def _dc(cls):
@@ -57,6 +57,10 @@ class ContactTable:
     friction_impulse: jnp.ndarray  # [M,4,2]
     spin_impulse: jnp.ndarray      # [M,4]
     roll_impulse: jnp.ndarray      # [M,4,2]
+    # per-point material scale from the surface feature hit (per-triangle
+    # mesh materials, reference Design.md:199-203); 1.0 elsewhere
+    friction_scale: jnp.ndarray    # [M,4]
+    restitution_scale: jnp.ndarray  # [M,4]
 
     @staticmethod
     def zeros(M: int) -> "ContactTable":
@@ -76,6 +80,8 @@ class ContactTable:
             friction_impulse=jnp.zeros((M, MAX_CONTACTS, 2)),
             spin_impulse=jnp.zeros((M, MAX_CONTACTS)),
             roll_impulse=jnp.zeros((M, MAX_CONTACTS, 2)),
+            friction_scale=jnp.ones((M, MAX_CONTACTS)),
+            restitution_scale=jnp.ones((M, MAX_CONTACTS)),
         )
 
 
@@ -93,8 +99,10 @@ class JointTable:
     pivot_b: jnp.ndarray    # [J,3]
     frame_a: jnp.ndarray    # [J,4] quat frame on A (hinge/cv/generic/cone)
     frame_b: jnp.ndarray    # [J,4]
-    params: jnp.ndarray     # [J,20] type-specific packed parameters
+    params: jnp.ndarray     # [J,60] type-specific packed parameters
     impulses: jnp.ndarray   # [J,MAX_JOINT_ROWS] warm-start impulses
+    angle: jnp.ndarray      # [J] tracked continuous twist/hinge angle
+                            # (reference: hinge/cvjoint update_angle state)
 
     @staticmethod
     def zeros(J: int) -> "JointTable":
@@ -108,8 +116,9 @@ class JointTable:
             pivot_b=jnp.zeros((J, 3)),
             frame_a=ident,
             frame_b=ident,
-            params=jnp.zeros((J, 20)),
+            params=jnp.zeros((J, 60)),
             impulses=jnp.zeros((J, MAX_JOINT_ROWS)),
+            angle=jnp.zeros((J,)),
         )
 
 
@@ -204,9 +213,18 @@ class WorldState:
     convex: "object"  # ConvexTable (shapes.convex) — unified per-body cloud
     compound: "object"  # CompoundTable (shapes.compound) — child lists
     mix_table: MixTable
+    # user/external components (reference: register_external_components,
+    # replication/register_external.hpp:28-67): named [N,...] columns that
+    # ride the pytree through the step untouched, replicate over the wire,
+    # and serve as input-history targets
+    user: dict
     # clock
     step_count: jnp.ndarray   # [] int32
     sim_time: jnp.ndarray     # [] float32
+    # capacity-overflow counters, refreshed each step (silent truncation is
+    # surfaced, not swallowed): [0] broadphase pairs dropped, [1] narrowphase
+    # bucket candidates dropped, [2] solver contact rows dropped
+    overflow: jnp.ndarray     # [3] int32
 
     # --- convenience ---
     @property
@@ -274,8 +292,10 @@ class WorldState:
             convex=convex if convex is not None else ConvexTable.empty(N),
             compound=compound if compound is not None else CompoundTable.empty(),
             mix_table=MixTable.empty(),
+            user={},
             step_count=jnp.zeros((), jnp.int32),
             sim_time=jnp.zeros(()),
+            overflow=jnp.zeros((3,), jnp.int32),
         )
 
     def inertia_world_inv(self):

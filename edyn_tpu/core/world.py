@@ -153,6 +153,15 @@ class World:
         self.step(n)
         return contact_events(prev, self.state)
 
+    def overflow_counters(self) -> dict:
+        """Last-step capacity-truncation counters (all zero = nothing was
+        silently dropped). Raise the corresponding capacity (max_pairs /
+        bucket_cap / max_rows) when any is non-zero."""
+        ovf = np.asarray(self.state.overflow)
+        return {"broadphase_pairs": int(ovf[0]),
+                "narrowphase_candidates": int(ovf[1]),
+                "contact_rows": int(ovf[2])}
+
     def query_aabb(self, lo, hi, include_non_procedural=True):
         """reference: include/edyn/collision/query_aabb.hpp."""
         from ..collision.events import query_aabb

@@ -120,6 +120,7 @@ class ContactRows:
     # from (for writing impulses back); padding rows point past the end
     row_slot: jnp.ndarray  # [R] int32
     base_dist: jnp.ndarray  # [R] step-start separation (position solver)
+    dropped: jnp.ndarray   # [] int32 — live contacts beyond max_rows
     # per-tri material scale is folded into friction/restitution already
 
 
@@ -161,12 +162,14 @@ def pack_solver_view(state):
 
 
 def pack_manifold_points(man):
-    """[M,4,12] per-point narrowphase outputs: pivot_a 0:3 | pivot_b 3:6 |
-    local_normal 6:9 | attachment 9 | distance 10 | point_valid 11."""
+    """[M,4,14] per-point narrowphase outputs: pivot_a 0:3 | pivot_b 3:6 |
+    local_normal 6:9 | attachment 9 | distance 10 | point_valid 11 |
+    friction_scale 12 | restitution_scale 13."""
     f = lambda x: x.astype(jnp.float32)[..., None]
     return jnp.concatenate([
         man.pivot_a, man.pivot_b, man.local_normal,
         f(man.normal_attachment), f(man.distance), f(man.point_valid),
+        f(man.friction_scale), f(man.restitution_scale),
     ], axis=-1)
 
 
@@ -223,13 +226,15 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
     R = max_rows or Rfull
     if R < Rfull:
         from ..collision.broadphase import _compact
-        row_slot, _cnt = _compact(valid0, R)
+        row_slot, cnt = _compact(valid0, R)
         slot_ok = row_slot >= 0
         row_slot = jnp.where(slot_ok, row_slot, Rfull - 1).astype(jnp.int32)
         valid = valid0[row_slot] & slot_ok
+        rows_dropped = jnp.maximum(cnt - R, 0)
     else:
         row_slot = jnp.arange(Rfull, dtype=jnp.int32)
         valid = valid0
+        rows_dropped = jnp.zeros((), jnp.int32)
 
     pair_idx = row_slot // P
     ab_pair = jnp.stack([man.body_a, man.body_b], axis=1)[pair_idx]  # [R,2]
@@ -238,12 +243,14 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
     ab = jnp.concatenate([a, b])
 
     # one gather for all per-point inputs
-    pt = pack_manifold_points(man).reshape(Rfull, 12)[row_slot]
+    pt = pack_manifold_points(man).reshape(Rfull, 14)[row_slot]
     pa_l = pt[:, 0:3]
     pb_l = pt[:, 3:6]
     ln = pt[:, 6:9]
     attach = pt[:, 9].astype(jnp.int32)
     dist = pt[:, 10]
+    fr_scale = pt[:, 12]
+    re_scale = pt[:, 13]
 
     # one gather for all per-body inputs
     g = pack_solver_view(state)[ab]                 # [2R,30]
@@ -281,15 +288,6 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
                       rhs=rhs_fn(relvel))
 
     restit_mix = jnp.minimum(ga[:, 21], gb[:, 21])
-    # with the restitution pre-pass enabled the main rows get zero restitution
-    # (reference: solver.cpp:280-283)
-    restitution = jnp.zeros_like(restit_mix) if use_restitution_solver else restit_mix
-    # speculative contact: error = distance/dt when separated (SURVEY A.2)
-    error = jnp.where(dist > 0, dist / dt, 0.0)
-
-    rn = dir_rows(n, lambda rv: -(error * 0.2 + rv * (1.0 + restitution)))
-    r1 = dir_rows(t1, lambda rv: -rv)
-    r2 = dir_rows(t2, lambda rv: -rv)
 
     # default material mixing (reference: dynamics/material_mixing.hpp:13-35)
     friction = jnp.sqrt(jnp.maximum(ga[:, 20] * gb[:, 20], 0.0))
@@ -319,6 +317,24 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
         friction = jnp.where(has, v[:, 1], friction)
         spin_fr = jnp.where(has, v[:, 2], spin_fr)
         roll_fr = jnp.where(has, v[:, 3], roll_fr)
+        stiff = jnp.where(has & (v[:, 4] > 0), v[:, 4], stiff)
+        dampc = jnp.where(has & (v[:, 5] > 0), v[:, 5], dampc)
+
+    # per-point surface material scale (per-triangle mesh materials,
+    # reference Design.md:199-203) applies after body/pair mixing
+    friction = friction * fr_scale
+    restit_mix = jnp.clip(restit_mix * re_scale, 0.0, 1.0)
+
+    # with the restitution pre-pass enabled the main rows get zero restitution
+    # (reference: solver.cpp:280-283); mixing (incl. the pair-table override)
+    # happens ABOVE so the rhs sees the overridden value
+    restitution = jnp.zeros_like(restit_mix) if use_restitution_solver else restit_mix
+    # speculative contact: error = distance/dt when separated (SURVEY A.2)
+    error = jnp.where(dist > 0, dist / dt, 0.0)
+
+    rn = dir_rows(n, lambda rv: -(error * 0.2 + rv * (1.0 + restitution)))
+    r1 = dir_rows(t1, lambda rv: -rv)
+    r2 = dir_rows(t2, lambda rv: -rv)
 
     if with_spin_roll:
         def ang_row(d):
@@ -363,7 +379,8 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
                        sA_t2=sA_t2, sB_t2=sB_t2,
                        em_spin=em_spin, em_roll1=em_roll1, em_roll2=em_roll2,
                        rhs_spin=rhs_spin, rhs_roll1=rhs_roll1,
-                       rhs_roll2=rhs_roll2, rA=rA, rB=rB)
+                       rhs_roll2=rhs_roll2, rA=rA, rB=rB,
+                       dropped=rows_dropped)
 
 
 def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,

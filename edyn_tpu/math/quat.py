@@ -108,3 +108,19 @@ def slerp(q0, q1, t):
     w0 = jnp.where(near, 1.0 - t, jnp.sin((1.0 - t) * theta) / jnp.where(near, 1.0, sin_theta))
     w1 = jnp.where(near, t, jnp.sin(t * theta) / jnp.where(near, 1.0, sin_theta))
     return normalize(q0 * w0[..., None] + q1 * w1[..., None])
+
+
+def shortest_arc(v0, v1):
+    """Quaternion rotating unit vector v0 onto v1 (reference:
+    include/edyn/math/quaternion.hpp shortest_arc). Batched [...,3]."""
+    import jax.numpy as jnp
+    from . import vec
+    c = vec.cross(v0, v1)
+    d = jnp.sum(v0 * v1, -1, keepdims=True)
+    w = 1.0 + d
+    # antiparallel fallback: rotate pi about any orthogonal axis
+    t1, _ = vec.orthonormal_basis(v0)
+    anti = (w < 1e-6)
+    xyz = jnp.where(anti, t1, c)
+    q = jnp.concatenate([xyz, jnp.where(anti, jnp.zeros_like(w), w)], -1)
+    return normalize(q)

@@ -31,11 +31,16 @@ def _dc(cls):
 
 @_dc
 class CompoundTable:
-    """Padded per-compound child lists. child_row indexes the convex table."""
+    """Padded per-compound child lists. child_row indexes the convex table;
+    child_type/child_params carry the raw shape descriptors for per-child
+    raycast (reference: compound_shape's shapes_variant children,
+    include/edyn/shapes/compound_shape.hpp:24-36)."""
     child_row: jnp.ndarray   # [NC, CH] int32 (-1 pad)
     child_pos: jnp.ndarray   # [NC, CH, 3] local
     child_orn: jnp.ndarray   # [NC, CH, 4] local (xyzw)
     child_mask: jnp.ndarray  # [NC, CH]
+    child_type: jnp.ndarray    # [NC, CH] int32 ShapeType
+    child_params: jnp.ndarray  # [NC, CH, 4]
 
     @staticmethod
     def empty() -> "CompoundTable":
@@ -43,7 +48,9 @@ class CompoundTable:
             child_row=jnp.full((0, 1), -1, jnp.int32),
             child_pos=jnp.zeros((0, 1, 3)),
             child_orn=jnp.zeros((0, 1, 4)).at[..., 3].set(1.0),
-            child_mask=jnp.zeros((0, 1), bool))
+            child_mask=jnp.zeros((0, 1), bool),
+            child_type=jnp.zeros((0, 1), jnp.int32),
+            child_params=jnp.zeros((0, 1, 4)))
 
 
 def compound_mass_properties(comp: CompoundShape, mass: float):

@@ -5,10 +5,15 @@ Rationale (TPU): per-(typeA,typeB) narrowphase buckets cost one kernel
 invocation each — 16+ invocations per step — and on TPU the launch overhead
 of many small kernels dominates the actual math. With a uniform
 support-mapped representation the whole convex-convex matrix runs as ONE
-batched kernel (support(d) = max over verts + radius * d), which is exact for
-spheres (1 vert + r), capsules (2 verts + r), boxes (8 verts) and polyhedra
-(hull verts); cylinders use a 12-gon prism (radial error r*(1-cos(15 deg)) ~
-3.4%o — bespoke exact kernels remain for cylinder-vs-plane and raycast).
+batched kernel (support(d) = max over verts + radius * d + disc_r * |d_perp|),
+which is EXACT for spheres (1 vert + r), capsules (2 verts + r), boxes
+(8 verts), polyhedra (hull verts) AND cylinders (2 cap centers + a disc term:
+the cylinder is the hull of two discs swept around disc_axis, so its support
+adds disc_r along the component of d perpendicular to the axis). Rounded
+cap-edge (rim) features are classified via circle closest-point candidate
+axes in support_sat._rim_axes — the batched analogue of the reference's
+closest_point_circle_line / closest_point_circle_circle Newton iterations
+(src/edyn/math/geom.cpp:217,476).
 
 Reference analogue: the per-shape support_projection/point_along_dir
 functions feeding each collide() kernel; here they become one data-driven
@@ -44,6 +49,8 @@ class ConvexTable:
     face_mask: jnp.ndarray     # [N,F]
     edge_dirs: jnp.ndarray     # [N,E,3]
     edge_mask: jnp.ndarray     # [N,E]
+    disc_r: jnp.ndarray        # [N]   cylinder cap-disc radius (0 otherwise)
+    disc_axis: jnp.ndarray     # [N,3] cylinder axis (object space, unit)
 
     @staticmethod
     def empty(N: int = 1) -> "ConvexTable":
@@ -53,7 +60,9 @@ class ConvexTable:
             face_normals=jnp.zeros((N, 1, 3)),
             face_mask=jnp.zeros((N, 1), bool),
             edge_dirs=jnp.zeros((N, 1, 3)),
-            edge_mask=jnp.zeros((N, 1), bool))
+            edge_mask=jnp.zeros((N, 1), bool),
+            disc_r=jnp.zeros((N,)),
+            disc_axis=jnp.zeros((N, 3)).at[:, 2].set(1.0))
 
 
 def _axis_vec(axis: int):
@@ -62,50 +71,44 @@ def _axis_vec(axis: int):
     return v
 
 
+_NO_DISC = (0.0, np.array([0.0, 0.0, 1.0]))
+
+
 def shape_convex_data(stype: int, params, poly_np=None, poly_index: int = 0):
-    """Returns (verts [v,3], radius, face_normals [f,3], edge_dirs [e,3]) in
-    object space for one shape."""
+    """Returns (verts [v,3], radius, face_normals [f,3], edge_dirs [e,3],
+    disc_r, disc_axis [3]) in object space for one shape."""
     p = np.asarray(params, np.float64)
     if stype == ShapeType.SPHERE:
-        return np.zeros((1, 3)), float(p[0]), np.zeros((0, 3)), np.zeros((0, 3))
+        return (np.zeros((1, 3)), float(p[0]), np.zeros((0, 3)),
+                np.zeros((0, 3))) + _NO_DISC
     if stype == ShapeType.BOX:
         h = p[:3]
         verts = np.array([[sx * h[0], sy * h[1], sz * h[2]]
                           for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
         eye = np.eye(3)
-        return verts, 0.0, eye, eye
+        return (verts, 0.0, eye, eye) + _NO_DISC
     if stype == ShapeType.CAPSULE:
         r, hl, axis = float(p[0]), float(p[1]), int(p[2])
         a = _axis_vec(axis)
-        return np.stack([a * hl, -a * hl]), r, a[None, :], a[None, :]
+        return (np.stack([a * hl, -a * hl]), r, a[None, :], a[None, :]) + _NO_DISC
     if stype == ShapeType.CYLINDER:
+        # EXACT: hull of two radius-r discs at +-hl along the axis. The disc
+        # term in the support functions (collision/kernels/support.py) makes
+        # side and cap support exact; no polygonal approximation.
         r, hl, axis = float(p[0]), float(p[1]), int(p[2])
         a = _axis_vec(axis)
-        others = [i for i in range(3) if i != axis]
-        u = _axis_vec(others[0])
-        v = _axis_vec(others[1])
-        ang = np.arange(NGON) * (2 * np.pi / NGON)
-        rim = (np.cos(ang)[:, None] * u + np.sin(ang)[:, None] * v) * r
-        verts = np.concatenate([rim + a * hl, rim - a * hl])
-        # unique normals: axis + side-face normals (between adjacent rim verts)
-        half = ang + np.pi / NGON
-        sides = np.cos(half)[:, None] * u + np.sin(half)[:, None] * v
-        faces = np.concatenate([a[None, :], sides])
-        # edge dirs: axis + rim edge directions
-        rim_dirs = rim[(np.arange(NGON) + 1) % NGON] - rim
-        rim_dirs /= np.linalg.norm(rim_dirs, axis=1, keepdims=True)
-        edges = np.concatenate([a[None, :], rim_dirs])
-        return verts, 0.0, faces, edges
+        verts = np.stack([a * hl, -a * hl])
+        return verts, 0.0, a[None, :], a[None, :], r, a
     if stype == ShapeType.POLYHEDRON and poly_np is not None:
         vm = poly_np.vert_mask[poly_index]
         fm = poly_np.face_mask[poly_index]
         em = poly_np.edge_mask[poly_index]
         return (poly_np.verts[poly_index][vm], 0.0,
                 poly_np.face_normals[poly_index][fm],
-                poly_np.edge_dirs[poly_index][em])
+                poly_np.edge_dirs[poly_index][em]) + _NO_DISC
     # NONE / PLANE / MESH: point placeholder (these never enter the unified
     # convex kernel as a convex side)
-    return np.zeros((1, 3)), 0.0, np.zeros((0, 3)), np.zeros((0, 3))
+    return (np.zeros((1, 3)), 0.0, np.zeros((0, 3)), np.zeros((0, 3))) + _NO_DISC
 
 
 def build_convex_table(shape_types, shape_params, shape_index,
@@ -117,7 +120,8 @@ def build_convex_table(shape_types, shape_params, shape_index,
     data = [shape_convex_data(int(shape_types[i]), shape_params[i], poly_np,
                               int(shape_index[i])) for i in range(N)]
     if extra_data:
-        data = data + list(extra_data)
+        data = data + [d if len(d) == 6 else tuple(d) + _NO_DISC
+                       for d in extra_data]
     NT = len(data)
     V = max(max((len(d[0]) for d in data), default=1), 1)
     F = max(max((len(d[2]) for d in data), default=1), 1)
@@ -130,7 +134,10 @@ def build_convex_table(shape_types, shape_params, shape_index,
     fmask = np.zeros((NT, F), bool)
     edirs = np.zeros((NT, E, 3), f32)
     emask = np.zeros((NT, E), bool)
-    for i, (v, r, f, e) in enumerate(data):
+    disc_r = np.zeros((NT,), f32)
+    disc_ax = np.zeros((NT, 3), f32)
+    disc_ax[:, 2] = 1.0
+    for i, (v, r, f, e, dr, da) in enumerate(data):
         verts[i, :len(v)] = v
         verts[i, len(v):] = v[0] if len(v) else 0.0  # pad w/ real vertex
         vmask[i, :len(v)] = True
@@ -139,8 +146,11 @@ def build_convex_table(shape_types, shape_params, shape_index,
         fmask[i, :len(f)] = True
         edirs[i, :len(e)] = e
         emask[i, :len(e)] = True
+        disc_r[i] = dr
+        disc_ax[i] = da
     return ConvexTable(
         verts=jnp.asarray(verts), vert_mask=jnp.asarray(vmask),
         radius=jnp.asarray(radius),
         face_normals=jnp.asarray(fnorm), face_mask=jnp.asarray(fmask),
-        edge_dirs=jnp.asarray(edirs), edge_mask=jnp.asarray(emask))
+        edge_dirs=jnp.asarray(edirs), edge_mask=jnp.asarray(emask),
+        disc_r=jnp.asarray(disc_r), disc_axis=jnp.asarray(disc_ax))

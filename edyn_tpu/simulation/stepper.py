@@ -52,6 +52,9 @@ class SceneMeta:
     # joint row build + per-iteration joint solve — each is several dispatches
     # on a launch-overhead-bound runtime)
     has_joints: bool = True
+    # unified-bucket Pallas mega-kernel: None = auto (on for TPU backends,
+    # off for CPU), True/False = force
+    pallas_narrowphase: object = None
     # optional custom pair filter fn(state, i_idx, j_idx) -> bool mask,
     # applied on top of the default filters (reference:
     # settings.should_collide_func, context/settings.hpp:43). Must be a
@@ -92,13 +95,14 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax)
 
     # --- broadphase ---
-    keys, pa, pb, pvalid, _dropped = find_pairs(
+    keys, pa, pb, pvalid, bp_dropped = find_pairs(
         state, meta.max_pairs, meta.broadphase_block, meta.should_collide_fn)
 
     # --- manifold persistence + narrowphase ---
     man = carry_over(state.contacts, keys, pa, pb, pvalid)
-    man = update_contacts(state, man, settings.collision_threshold,
-                          meta.types_present, meta.bucket_cap, dt)
+    man, np_dropped = update_contacts(state, man, settings.collision_threshold,
+                                      meta.types_present, meta.bucket_cap, dt,
+                                      pallas_mode=meta.pallas_narrowphase)
     state = dataclasses.replace(state, contacts=man)
 
     # --- islands & sleeping ---
@@ -122,8 +126,11 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
 
     # --- refresh rhs against post-gravity velocities ---
     rows = solver_mod.refresh_contact_rhs(rows, state, man, dt, use_rest)
-    jrows = joints_mod.build_joint_rows(state, dt, settings.mass_splitting) \
-        if meta.has_joints else None
+    if meta.has_joints:
+        jrows, new_jangle = joints_mod.build_joint_rows(
+            state, dt, settings.mass_splitting)
+    else:
+        jrows, new_jangle = None, state.joints.angle
 
     # --- warm start + velocity iterations ---
     # body velocity deltas are packed [N,6] (lin 0:3, ang 3:6) so every
@@ -165,7 +172,8 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
         friction_impulse=flat_imp[..., 1:3],
         spin_impulse=flat_imp[..., 3],
         roll_impulse=flat_imp[..., 4:6])
-    joints = dataclasses.replace(state.joints, impulses=j_imp)
+    joints = dataclasses.replace(state.joints, impulses=j_imp,
+                                 angle=new_jangle)
     state = dataclasses.replace(state, contacts=man, joints=joints)
 
     # --- integrate ---
@@ -181,6 +189,11 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
         state,
         step_count=state.step_count + 1,
         sim_time=state.sim_time + dt,
+        # surface every silent capacity truncation (broadphase pairs,
+        # narrowphase bucket candidates, compacted solver rows)
+        overflow=jnp.stack([
+            bp_dropped.astype(jnp.int32), np_dropped.astype(jnp.int32),
+            rows.dropped.astype(jnp.int32)]),
     )
 
 

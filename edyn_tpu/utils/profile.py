@@ -40,6 +40,10 @@ class ProfileCounters:
     num_contact_points: int = 0
     num_constraints: int = 0
     num_islands: int = 0
+    # capacity-overflow counters from the last step (0 = nothing truncated)
+    dropped_broadphase_pairs: int = 0
+    dropped_narrowphase_candidates: int = 0
+    dropped_contact_rows: int = 0
 
 
 def counters(state) -> ProfileCounters:
@@ -48,6 +52,7 @@ def counters(state) -> ProfileCounters:
     asleep = np.asarray(state.asleep)
     man_valid = np.asarray(state.contacts.valid)
     labels = np.asarray(state.island_id)[dyn & valid]
+    ovf = np.asarray(state.overflow)
     return ProfileCounters(
         num_bodies=int(valid.sum()),
         num_awake=int((dyn & ~asleep).sum()),
@@ -55,6 +60,9 @@ def counters(state) -> ProfileCounters:
         num_contact_points=int(np.asarray(state.contacts.point_valid).sum()),
         num_constraints=int(np.asarray(state.joints.valid).sum()),
         num_islands=len(np.unique(labels)) if len(labels) else 0,
+        dropped_broadphase_pairs=int(ovf[0]),
+        dropped_narrowphase_candidates=int(ovf[1]),
+        dropped_contact_rows=int(ovf[2]),
     )
 
 
@@ -93,7 +101,7 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
                                            meta.broadphase_block), st)
     man = timed("manifold_carry", jax.jit(carry_over), st.contacts, keys, pa,
                 pb, pv)
-    man = timed("narrowphase", jax.jit(
+    man, _np_drop = timed("narrowphase", jax.jit(
         lambda s, m: update_contacts(s, m, S.collision_threshold,
                                      meta.types_present, meta.bucket_cap)),
         st, man)

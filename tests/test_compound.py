@@ -73,3 +73,51 @@ def test_compound_inertia_reasonable():
     # dumbbell: I about the long axis (x) much smaller than about y/z
     assert I[0, 0] < I[1, 1] * 0.5
     assert abs(com[0]) < 1e-6
+
+
+def test_compound_rests_on_trimesh():
+    """Compound body over triangle-mesh terrain (reference:
+    collide_compound_mesh.cpp) — previously this pair simply didn't collide."""
+    from tests.test_mesh import make_grid_mesh
+    verts, tris = make_grid_mesh(10, 10, 1.0)
+    n = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                 verts[tris[:, 2]] - verts[tris[:, 0]])
+    flip = n[:, 1] < 0
+    tris[flip] = tris[flip][:, [0, 2, 1]]
+    b = et.WorldBuilder()
+    b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.MeshShape(verts, tris),
+        material=et.Material(friction=0.7)))
+    body = b.make_rigidbody(et.RigidBodyDef(
+        mass=2.0, shape=_dumbbell(), position=(0, 1.0, 0),
+        material=et.Material(friction=0.7)))
+    w = et.make_world(b)
+    w.step(240)
+    # rests on its two sphere ends (radius 0.25) on the flat mesh. (The
+    # dumbbell may slowly ROLL about its sphere axis — that's physical; what
+    # matters is that it doesn't sink, bounce, or slide along its axis.)
+    assert abs(float(w.position(body)[1]) - 0.25) < 0.05
+    v = np.asarray(w.linvel(body))
+    assert abs(v[1]) < 0.05, v
+    assert abs(v[0]) < 0.1, v
+
+
+def test_compound_raycast_hits_children():
+    """Raycast against a compound resolves per-child exact geometry
+    (reference: raycast.cpp:323)."""
+    b = et.WorldBuilder()
+    body = b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=_dumbbell(), position=(0, 0, 0)))
+    w = et.make_world(b)
+    # ray down onto the left sphere child (center (-0.5,0,0), r 0.25)
+    out = w.raycast((-0.5, 2.0, 0.0), (-0.5, -2.0, 0.0))
+    assert out["entity"] == body
+    np.testing.assert_allclose(out["fraction"], (2.0 - 0.25) / 4.0, atol=1e-3)
+    np.testing.assert_allclose(out["normal"], [0, 1, 0], atol=1e-3)
+    # ray down onto the thin connecting bar (half height 0.08)
+    out = w.raycast((0.0, 2.0, 0.0), (0.0, -2.0, 0.0))
+    assert out["entity"] == body
+    np.testing.assert_allclose(out["fraction"], (2.0 - 0.08) / 4.0, atol=1e-3)
+    # ray that passes between the spheres above the bar: must MISS
+    out = w.raycast((-0.25, 2.0, 0.2), (-0.25, -2.0, 0.2))
+    assert out["entity"] == -1

@@ -150,3 +150,157 @@ def test_null_constraint_shares_island():
     w = et.make_world(b)
     settle(w, 5)
     assert int(w.state.island_id[x]) == int(w.state.island_id[y])
+
+
+def test_generic_linear_limit_slider():
+    """Generic with one free-range linear DOF = slider with end stops
+    (reference: generic_constraint linear_dof offset_min/max)."""
+    b = et.WorldBuilder(gravity=(0.0, 0.0, 0.0))
+    anchor = b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.SphereShape(0.05), position=(0, 2, 0)))
+    slider = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.BoxShape((0.1, 0.1, 0.1)), position=(0, 2, 0),
+        linvel=(2.0, 0, 0)))
+    et.make_generic_constraint(
+        b, anchor, slider, (0, 0, 0), (0, 0, 0),
+        linear_dofs=(et.dof(offset_min=-0.5, offset_max=0.5),
+                     et.dof(), et.dof()))
+    w = et.make_world(b)
+    xs = []
+    for _ in range(90):
+        w.step(1)
+        xs.append(float(w.position(slider)[0]))
+    # stays within the +-0.5 slot (small overshoot tolerance)
+    assert max(abs(x) for x in xs) < 0.56, max(xs)
+    # actually reached the stop
+    assert max(xs) > 0.44, max(xs)
+    # y/z locked
+    assert abs(float(w.position(slider)[1]) - 2.0) < 1e-2
+    assert abs(float(w.position(slider)[2])) < 1e-2
+
+
+def test_generic_linear_spring_oscillates():
+    """Linear DOF spring: rest offset restoring force (reference
+    generic_constraint.cpp:93-108)."""
+    b = et.WorldBuilder(gravity=(0.0, 0.0, 0.0))
+    anchor = b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.SphereShape(0.05), position=(0, 2, 0)))
+    m = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.BoxShape((0.1, 0.1, 0.1)), position=(0.4, 2, 0)))
+    et.make_generic_constraint(
+        b, anchor, m, (0, 0, 0), (0, 0, 0),
+        linear_dofs=(et.dof(limit_enabled=False, spring_stiffness=30.0,
+                            damping=0.3),
+                     et.dof(), et.dof()),
+        disable_collision=True)
+    w = et.make_world(b)
+    xs = []
+    for _ in range(240):
+        w.step(1)
+        xs.append(float(w.position(m)[0]))
+    # oscillates through the rest offset and decays
+    assert min(xs[:80]) < -0.1
+    assert abs(xs[-1]) < 0.15, xs[-1]
+
+
+def test_generic_angular_friction_spins_down():
+    """Angular DOF friction torque decelerates relative spin (reference
+    generic_constraint.cpp angular friction_torque)."""
+    b = et.WorldBuilder(gravity=(0.0, 0.0, 0.0))
+    anchor = b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.SphereShape(0.05), position=(0, 2, 0)))
+    m = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.BoxShape((0.2, 0.2, 0.2)), position=(0, 2, 0),
+        angvel=(5.0, 0, 0)))
+    et.make_generic_constraint(
+        b, anchor, m, (0, 0, 0), (0, 0, 0),
+        linear_dofs=(et.dof(), et.dof(), et.dof()),
+        angular_dofs=(et.dof(limit_enabled=False, friction=0.2),
+                      et.dof(limit_enabled=False),
+                      et.dof(limit_enabled=False)))
+    w = et.make_world(b)
+    w0 = float(w.angvel(m)[0])
+    spds = []
+    for _ in range(120):
+        w.step(1)
+        spds.append(float(w.angvel(m)[0]))
+    # constant-torque deceleration: ~linear ramp down, eventually stopped
+    assert spds[30] < w0 * 0.8
+    assert abs(spds[-1]) < 0.5, spds[-1]
+
+
+def test_hinge_bump_stop_soft_landing():
+    """Hinge bump stop engages before the hard limit: with a stiff bump-stop
+    spring the swing reverses before/at the limit with far smaller limit
+    impulse (reference hinge_constraint.hpp bump_stop_*)."""
+    import numpy as np
+
+    def run(bump_k):
+        b = et.WorldBuilder(gravity=(0.0, 0.0, 0.0))
+        anchor = b.make_rigidbody(et.RigidBodyDef(
+            kind=et.KIND_STATIC, shape=et.SphereShape(0.05),
+            position=(0, 2, 0)))
+        arm = b.make_rigidbody(et.RigidBodyDef(
+            mass=1.0, shape=et.BoxShape((0.4, 0.05, 0.05)),
+            position=(0.5, 2, 0), angvel=(0, 0, 3.0), linvel=(0, 1.5, 0)))
+        et.make_hinge_constraint(
+            b, anchor, arm, (0, 0, 0), (-0.5, 0, 0), (0, 0, 1), (0, 0, 1),
+            limit_min=-1.0, limit_max=1.0, has_limit=True,
+            bump_stop_stiffness=bump_k, bump_stop_angle=0.4)
+        w = et.make_world(b)
+        angs = []
+        for _ in range(60):
+            w.step(1)
+            p = np.asarray(w.position(arm)) - np.array([0, 2, 0])
+            angs.append(np.arctan2(p[1], p[0]))
+        return np.asarray(angs)
+
+    hard = run(0.0)
+    soft = run(60.0)
+    # both respect the hard limit (small velocity-level overshoot allowed:
+    # the limit row is speculative, correction completes over ~2 steps)
+    assert hard.max() < 1.15 and soft.max() < 1.15
+    # the bump stop turns the arm earlier than the hard limit does
+    assert soft.max() < hard.max() - 0.05, (soft.max(), hard.max())
+
+
+def test_cvjoint_twist_limits_and_bend_spring():
+    """CV joint: twist constrained to its range; bend spring pulls B's axis
+    toward rest_direction (reference cvjoint_constraint.cpp)."""
+    import numpy as np
+    b = et.WorldBuilder(gravity=(0.0, 0.0, 0.0))
+    anchor = b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.SphereShape(0.05), position=(0, 2, 0)))
+    m = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.BoxShape((0.1, 0.1, 0.3)), position=(0, 2, 0.6),
+        angvel=(0, 0, 4.0)))
+    et.make_cvjoint_constraint(
+        b, anchor, m, (0, 0, 0.3), (0, 0, -0.3), (0, 0, 1), (0, 0, 1),
+        twist_min=-0.4, twist_max=0.4)
+    w = et.make_world(b)
+    from edyn_tpu.constraints.joints import JointType
+    for _ in range(90):
+        w.step(1)
+    ang = float(np.asarray(w.state.joints.angle)[0])
+    assert abs(ang) < 0.5, ang  # twist held to the limit range
+    wz = float(w.angvel(m)[2])
+    assert abs(wz) < 0.6, wz
+
+
+def test_cvjoint_twist_lock_transmits_rotation():
+    """Default cvjoint (min == max) = constant-velocity coupling: driving A's
+    twist velocity drags B along (the joint's defining behavior)."""
+    import numpy as np
+    b = et.WorldBuilder(gravity=(0.0, 0.0, 0.0))
+    drv = b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_KINEMATIC, shape=et.CylinderShape(0.2, 0.3, axis=2),
+        position=(0, 2, 0), angvel=(0, 0, 3.0)))
+    out = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.CylinderShape(0.2, 0.3, axis=2),
+        position=(0, 2, 0.8)))
+    et.make_cvjoint_constraint(b, drv, out, (0, 0, 0.4), (0, 0, -0.4),
+                               (0, 0, 1), (0, 0, 1))
+    w = et.make_world(b)
+    w.step(60)
+    wz = float(w.angvel(out)[2])
+    assert abs(wz - 3.0) < 0.2, wz

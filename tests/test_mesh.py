@@ -115,3 +115,39 @@ def test_polyhedron_on_terrain():
         ys.append(float(w.position(body)[1]))
     assert 0.0 < ys[-1] < 0.4, ys[-1]
     assert max(ys) - min(ys) < 0.03, (min(ys), max(ys))
+
+
+def test_per_triangle_materials_two_zones():
+    """Ice/asphalt terrain: identical boxes slide much farther on the
+    low-friction zone (per-vertex -> per-triangle material scales wired into
+    contact rows; reference Design.md:199-203)."""
+    verts, tris = make_grid_mesh(20, 6, 1.0)
+    n = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                 verts[tris[:, 2]] - verts[tris[:, 0]])
+    flip = n[:, 1] < 0
+    tris[flip] = tris[flip][:, [0, 2, 1]]
+    # z < 0 half: ice (friction scale ~0); z > 0 half: asphalt (1.0)
+    vf = np.where(verts[:, 2] < 0, 0.02, 1.0).astype(np.float32)
+    b = et.WorldBuilder()
+    b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC,
+        shape=et.MeshShape(verts, tris, vertex_friction=vf),
+        material=et.Material(friction=0.8)))
+    kick = (4.0, 0.0, 0.0)
+    ice = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.BoxShape((0.2, 0.2, 0.2)),
+        position=(-8.0, 0.21, -1.5), linvel=kick,
+        material=et.Material(friction=0.8)))
+    asphalt = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.BoxShape((0.2, 0.2, 0.2)),
+        position=(-8.0, 0.21, 1.5), linvel=kick,
+        material=et.Material(friction=0.8)))
+    w = et.make_world(b)
+    w.step(120)
+    x_ice = float(w.position(ice)[0])
+    x_asp = float(w.position(asphalt)[0])
+    slide_ice = x_ice + 8.0
+    slide_asp = x_asp + 8.0
+    assert slide_asp < slide_ice - 1.0, (slide_ice, slide_asp)
+    # asphalt box stops quickly (mu ~0.78): v^2/(2 mu g) ~ 1.0m
+    assert abs(float(w.linvel(asphalt)[0])) < 0.1

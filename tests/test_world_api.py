@@ -110,3 +110,32 @@ def test_custom_should_collide_fn():
     w.meta = dataclasses.replace(w.meta, should_collide_fn=no_collide)
     w.step(120)
     assert float(w.position(box)[1]) < -1.0, "custom filter was ignored"
+
+
+def test_overflow_counters_surface_truncation():
+    """Deliberately undersized max_pairs must be REPORTED, not silent
+    (VERDICT r1: silent capacity truncation)."""
+    import numpy as np
+    b = et.WorldBuilder()
+    b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.PlaneShape((0, 1, 0), 0.0)))
+    # 6x6 grid of touching spheres on the plane: 36 plane contacts + lateral
+    # neighbor overlaps >> 8 pairs
+    for i in range(6):
+        for j in range(6):
+            b.make_rigidbody(et.RigidBodyDef(
+                mass=1.0, shape=et.SphereShape(0.55),
+                position=(i * 1.0, 0.5, j * 1.0)))
+    w = et.make_world(b, et.Settings(), max_pairs=8)
+    w.step(2)
+    ovf = w.overflow_counters()
+    assert ovf["broadphase_pairs"] > 0, ovf
+    # healthy world reports zero
+    b2 = et.WorldBuilder()
+    b2.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.PlaneShape((0, 1, 0), 0.0)))
+    b2.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 0.49, 0)))
+    w2 = et.make_world(b2, et.Settings())
+    w2.step(2)
+    assert all(v == 0 for v in w2.overflow_counters().values())
