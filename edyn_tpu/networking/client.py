@@ -17,11 +17,12 @@ from ..replication.snapshot import (
 from . import packets as pk
 from .clock_sync import ClockSync
 from .extrapolation import extrapolate
-from .input_history import InputHistory
+from .input_history import InputHistory, InputRecord
 from .server import def_to_dict
 
 CLOCK_SYNC_INTERVAL = 1.0
 SNAPSHOT_RATE = 30.0  # client input/state upload rate
+INPUT_RESEND_WINDOW = 0.5  # seconds of history re-sent per upload
 
 
 class NetworkClient:
@@ -39,6 +40,22 @@ class NetworkClient:
         self._pending_created: Dict[int, RigidBodyDef] = {}
         # discontinuity offsets for presentation smoothing
         self.disc_pos = np.zeros((world.state.capacity, 3), np.float32)
+
+    # -- inputs ---------------------------------------------------------
+    def record_input(self, now: float, component: str, entities, values):
+        """Record an input-component write: applied locally NOW (prediction),
+        kept in the history for extrapolation replay, and uploaded to the
+        server inside the next InputSnapshot (reference: client_side.cpp
+        input history export :368-388)."""
+        from ..replication.snapshot import set_component
+        ent = np.asarray(entities, np.int64)
+        self.world.state = set_component(self.world.state, component,
+                                         ent, values)
+        # history keeps LOCAL time + LOCAL ids (extrapolation replays with
+        # local step times); the upload remaps both (see update())
+        self.input_history.record(InputRecord(
+            timestamp=now, component=component,
+            entities=ent.astype(np.int32), values=np.asarray(values)))
 
     # -- local entity creation -----------------------------------------
     def create_entity(self, def_: RigidBodyDef) -> int:
@@ -78,6 +95,24 @@ class NetworkClient:
             if len(snap.entities):
                 self.send(pk.TransientSnapshot(
                     timestamp=self.clock.to_remote(now), snapshot=snap))
+            # upload the recent input window (re-sent each time — overlap is
+            # the loss tolerance, deduped server-side; Design.md:373)
+            recent = self.input_history.since(now - INPUT_RESEND_WINDOW)
+            wire_recs = []
+            for r in recent:
+                ent = np.array(
+                    [self.entity_map.to_remote(int(e))
+                     if self.entity_map.has_local(int(e)) else -1
+                     for e in r.entities], np.int32)
+                keep = ent >= 0
+                if keep.any():
+                    wire_recs.append(InputRecord(
+                        timestamp=self.clock.to_remote(r.timestamp),
+                        component=r.component, entities=ent[keep],
+                        values=np.asarray(r.values)[keep]))
+            if wire_recs:
+                self.send(pk.InputSnapshot(
+                    timestamp=self.clock.to_remote(now), records=wire_recs))
 
         # decay discontinuities (reference: update_presentation.cpp:19-55)
         self.disc_pos *= 0.9

@@ -1,37 +1,80 @@
-"""Timestamped input history for extrapolation replay (reference:
-include/edyn/networking/util/input_state_history.hpp:19-232 and
-action_history, Design.md:367-379)."""
+"""Timestamped input history as pure DATA records (reference:
+include/edyn/networking/util/input_state_history.hpp:19-232 — a serialized
+ring of timestamped input-component snapshots — and action_history,
+Design.md:367-379).
+
+Each entry names a component and carries (entities, values) arrays, so the
+whole history serializes to bytes (networking/wire.py), crosses the wire
+inside ``InputSnapshot`` packets, merges server-side, and replays during
+extrapolation — nothing is a closure.
+"""
 from __future__ import annotations
 
 import bisect
 import dataclasses
-from typing import Callable, List, Tuple
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class InputRecord:
+    """One timestamped write of an input component: scatter ``values`` into
+    component ``component`` at rows ``entities`` (reference:
+    input_state_history::element, input_state_history.hpp:24-40)."""
+    timestamp: float
+    component: str            # built-in name or registered user component
+    entities: np.ndarray      # [K] int32 (remote ids on the wire)
+    values: np.ndarray        # [K, ...] matching the component column
+
+    def key(self):
+        return (self.timestamp, self.component,
+                tuple(np.asarray(self.entities).tolist()))
 
 
 @dataclasses.dataclass
 class InputHistory:
-    """Ring of (timestamp, apply_fn) entries; apply_fn(state) -> state writes
-    the input components (e.g. a vehicle's steering column) into the state.
-    During extrapolation, each step applies every entry that falls inside its
-    time window (reference: input_state_history_reader::import_each)."""
+    """Time-sorted ring of InputRecords over a sliding window (reference:
+    input_state_history keeps a bounded timestamped list)."""
     window: float = 2.0
-    entries: List[Tuple[float, Callable]] = dataclasses.field(default_factory=list)
+    entries: List[InputRecord] = dataclasses.field(default_factory=list)
 
-    def record(self, timestamp: float, apply_fn: Callable):
-        bisect.insort(self.entries, (timestamp, apply_fn), key=lambda e: e[0])
-        cutoff = timestamp - self.window
-        while self.entries and self.entries[0][0] < cutoff:
+    def record(self, rec: InputRecord):
+        bisect.insort(self.entries, rec, key=lambda e: e.timestamp)
+        cutoff = rec.timestamp - self.window
+        while self.entries and self.entries[0].timestamp < cutoff:
             self.entries.pop(0)
 
-    def apply(self, state, t: float, dt: float):
-        lo = bisect.bisect_left(self.entries, t, key=lambda e: e[0])
-        hi = bisect.bisect_left(self.entries, t + dt, key=lambda e: e[0])
-        for _, fn in self.entries[lo:hi]:
-            state = fn(state)
+    def since(self, t: float) -> List[InputRecord]:
+        lo = bisect.bisect_left(self.entries, t, key=lambda e: e.timestamp)
+        return self.entries[lo:]
+
+    def apply(self, state, t: float, dt: float, emap=None):
+        """Write every record inside [t, t+dt) into the state (reference:
+        input_state_history_reader::import_each). ``emap`` remaps wire
+        entity ids to local rows when replaying a remote client's stream."""
+        from ..replication.snapshot import set_component
+        lo = bisect.bisect_left(self.entries, t, key=lambda e: e.timestamp)
+        hi = bisect.bisect_left(self.entries, t + dt,
+                                key=lambda e: e.timestamp)
+        for rec in self.entries[lo:hi]:
+            ent = np.asarray(rec.entities, np.int64)
+            if emap is not None:
+                ent = np.array(
+                    [emap.to_local(int(e)) if emap.has_remote(int(e)) else -1
+                     for e in ent], np.int64)
+            keep = ent >= 0
+            if not keep.any():
+                continue
+            state = set_component(state, rec.component, ent[keep],
+                                  np.asarray(rec.values)[keep])
         return state
 
-    def merge_remote(self, other: "InputHistory"):
-        """Server-side merge of client-sent histories (reference:
-        action_history merged server-side)."""
-        for e in other.entries:
-            self.record(*e)
+    def merge_remote(self, records: List[InputRecord]):
+        """Server-side merge of a client's uploaded records (reference:
+        action_history merged server-side; duplicate re-sends — the loss
+        tolerance mechanism — are dropped by key)."""
+        seen = {e.key() for e in self.entries}
+        for rec in records:
+            if rec.key() not in seen:
+                self.record(rec)

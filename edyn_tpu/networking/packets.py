@@ -95,6 +95,17 @@ class ActionPacket(Packet):
     actions: List[tuple] = dataclasses.field(default_factory=list)  # (time, payload)
 
 
+@dataclasses.dataclass
+class InputSnapshot(Packet):
+    """Client -> server upload of recent input-component records (reference:
+    input_state_history serialized inside registry_snapshot packets,
+    networking/util/input_state_history.hpp:19-232). Unreliable; re-sends of
+    overlapping windows are deduped server-side, which is the loss-tolerance
+    mechanism (Design.md:373)."""
+    entity: int = -1                 # owning client's primary entity (info)
+    records: List[Any] = dataclasses.field(default_factory=list)  # InputRecord
+
+
 RELIABLE_TYPES = (ClientCreatedEntity, ClientDestroyedEntity, EntityEntered,
                   EntityExited, UpdateEntityMap, GeneralSnapshot,
                   ServerSettings, SetPlayoutDelay)

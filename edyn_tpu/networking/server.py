@@ -20,6 +20,7 @@ from ..replication.snapshot import (
     CREATION_COMPONENTS, TRANSIENT_COMPONENTS, apply_snapshot, extract_snapshot,
 )
 from . import packets as pk
+from .input_history import InputHistory
 from .interest import InterestState
 
 PLAYOUT_DELAY_MULTIPLIER = 1.2  # reference: server_side.cpp:513-541
@@ -39,6 +40,10 @@ class RemoteClient:
     playout_delay: float = 0.05
     last_snapshot_time: float = -1e9
     snapshot_rate: float = SNAPSHOT_RATE
+    # merged input stream (reference: server-side action_history merge)
+    input_history: InputHistory = dataclasses.field(
+        default_factory=InputHistory)
+    input_applied: set = dataclasses.field(default_factory=set)
 
 
 class NetworkServer:
@@ -89,6 +94,10 @@ class NetworkServer:
             due = packet.timestamp + c.playout_delay
             self._seq += 1
             heapq.heappush(self._timed, (due, self._seq, client_id, packet))
+        elif isinstance(packet, pk.InputSnapshot):
+            # dedup-merge; replayed at playout time in update() (reference:
+            # server_side.cpp:603-616 action dispatch)
+            c.input_history.merge_remote(packet.records)
 
     def _handle_create(self, c: RemoteClient, packet: pk.ClientCreatedEntity,
                        now: float):
@@ -118,6 +127,35 @@ class NetworkServer:
             self.world.state = apply_snapshot(
                 self.world.state, snap, c.entity_map, only_entities=c.owned)
             self.world.wake_set(c.owned)
+
+        # 1b. replay due input records with ownership restriction — a client
+        # only steers the input columns of rows it owns (reference:
+        # server_side.cpp ownership checks + input replay). Records are
+        # tracked by key so a late arrival (loss + re-send) still applies.
+        for c in self.clients.values():
+            hi = now - c.playout_delay
+            applied = False
+            for rec in c.input_history.entries:
+                if rec.timestamp >= hi:
+                    break
+                key = rec.key()
+                if key in c.input_applied:
+                    continue
+                c.input_applied.add(key)
+                ent = np.asarray(rec.entities, np.int64)
+                keep = np.array([int(e) in c.owned for e in ent], bool)
+                if keep.any():
+                    from ..replication.snapshot import set_component
+                    self.world.state = set_component(
+                        self.world.state, rec.component, ent[keep],
+                        np.asarray(rec.values)[keep])
+                    applied = True
+            # bound the applied-key set to the history window
+            if len(c.input_applied) > 4 * max(len(c.input_history.entries), 64):
+                live = {r.key() for r in c.input_history.entries}
+                c.input_applied &= live
+            if applied:
+                self.world.wake_set(c.owned)
 
         # 2. per-client interest + snapshot export
         for c in self.clients.values():

@@ -50,6 +50,37 @@ TRANSIENT_COMPONENTS = ("position", "orientation", "linvel", "angvel")
 CREATION_COMPONENTS = tuple(COMPONENT_COLUMNS)
 
 
+def get_component(state, name: str):
+    """Column for a component name: built-in registry first, then user
+    components registered via WorldBuilder.register_component (reference:
+    register_external_components, replication/register_external.hpp:28)."""
+    attr = COMPONENT_COLUMNS.get(name)
+    if attr is not None:
+        return getattr(state, attr)
+    user = getattr(state, "user", None) or {}
+    if name in user:
+        return user[name]
+    raise KeyError(f"unknown component {name!r}")
+
+
+def set_component(state, name: str, entities, values):
+    """Scatter ``values`` into component ``name`` at rows ``entities``.
+    Returns the updated state."""
+    idx = jnp.asarray(np.asarray(entities, np.int32))
+    attr = COMPONENT_COLUMNS.get(name)
+    if attr is not None:
+        col = getattr(state, attr)
+        return dataclasses.replace(
+            state, **{attr: col.at[idx].set(jnp.asarray(values, col.dtype))})
+    user = getattr(state, "user", None) or {}
+    if name not in user:
+        raise KeyError(f"unknown component {name!r}")
+    col = user[name]
+    new_user = dict(user)
+    new_user[name] = col.at[idx].set(jnp.asarray(values, col.dtype))
+    return dataclasses.replace(state, user=new_user)
+
+
 @dataclasses.dataclass
 class RegistrySnapshot:
     """entities are REMOTE indices from the producer's registry; pools map
@@ -65,7 +96,7 @@ def extract_snapshot(state, entities: Iterable[int],
     ent = np.asarray(list(entities), np.int32)
     pools = {}
     for name in components:
-        col = np.asarray(getattr(state, COMPONENT_COLUMNS[name]))
+        col = np.asarray(get_component(state, name))
         pools[name] = col[ent]
     return RegistrySnapshot(entities=ent, pools=pools, timestamp=timestamp)
 
@@ -89,10 +120,7 @@ def apply_snapshot(state, snap: RegistrySnapshot, emap: Optional[EntityMap] = No
     if only_entities is not None:
         keep &= np.isin(local, list(only_entities))
 
-    updates = {}
     for name, pool in snap.pools.items():
-        attr = COMPONENT_COLUMNS[name]
-        col = getattr(state, attr)
         pool = np.asarray(pool)
         ok = keep.copy()
         if np.issubdtype(pool.dtype, np.floating):
@@ -100,7 +128,5 @@ def apply_snapshot(state, snap: RegistrySnapshot, emap: Optional[EntityMap] = No
             ok &= np.isfinite(flat).all(axis=1)
         if not ok.any():
             continue
-        idx = jnp.asarray(local[ok])
-        vals = jnp.asarray(pool[ok], dtype=col.dtype)
-        updates[attr] = col.at[idx].set(vals)
-    return dataclasses.replace(state, **updates)
+        state = set_component(state, name, local[ok], pool[ok])
+    return state

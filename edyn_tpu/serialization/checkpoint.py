@@ -20,13 +20,21 @@ from ..core.state import WorldState
 FORMAT_VERSION = 1
 
 
+def _path_key(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "name"):        # GetAttrKey (dataclass field)
+            parts.append(p.name)
+        elif hasattr(p, "key"):       # DictKey (user components)
+            parts.append(str(p.key))
+        else:                          # SequenceKey etc.
+            parts.append(str(getattr(p, "idx", p)))
+    return "/".join(parts)
+
+
 def _paths(state) -> dict:
     flat, _ = jax.tree_util.tree_flatten_with_path(state)
-    out = {}
-    for path, leaf in flat:
-        key = "/".join(getattr(p, "name", str(getattr(p, "idx", p))) for p in path)
-        out[key] = np.asarray(leaf)
-    return out
+    return {_path_key(path): np.asarray(leaf) for path, leaf in flat}
 
 
 def save_world(path_or_file, state: WorldState, settings: Optional[Settings] = None):
@@ -76,11 +84,15 @@ def load_world(path_or_file, template: Optional[WorldState] = None):
                                    for f in _dc.fields(CompoundTable)]) \
             if data["compound/child_row"].shape[0] else CompoundTable.empty()
         template = WorldState.zeros(N, M, J, poly, mesh, convex, compound)
+        user = {k[len("user/"):]: jax.numpy.asarray(data[k])
+                for k in data.files if k.startswith("user/")}
+        if user:
+            template = _dc.replace(template, user=user)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, leaf in flat:
-        key = "/".join(getattr(p, "name", str(getattr(p, "idx", p))) for p in path)
+        key = _path_key(path)
         arr = data[key]
         assert arr.shape == leaf.shape, f"{key}: {arr.shape} != {leaf.shape}"
         leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))
