@@ -44,32 +44,167 @@ def _compact(flat_mask, size: int):
     return out, count
 
 
-def _pair_filters(state, i_idx, j_idx):
-    """Boolean mask of eligible pairs for row indices i vs columns j."""
-    kind = state.kind
+def _pair_filters_elt(state, i, j):
+    """Eligibility mask for elementwise index arrays (broadcastable i vs j):
+    should_collide_default minus exclusions (applied post-compaction)."""
     valid = state.valid & (state.shape_type != ShapeType.NONE)
-    dyn = kind == KIND_DYNAMIC
-
-    m = valid[i_idx][:, None] & valid[j_idx][None, :]
-    # strictly upper-triangular: one pair per unordered pair
-    m &= i_idx[:, None] < j_idx[None, :]
+    dyn = state.kind == KIND_DYNAMIC
+    m = valid[i] & valid[j]
+    m &= i != j
     # at least one dynamic (procedural) body
-    m &= dyn[i_idx][:, None] | dyn[j_idx][None, :]
+    m &= dyn[i] | dyn[j]
     # collision group/mask both ways
-    gi, mi = state.group[i_idx][:, None], state.mask[i_idx][:, None]
-    gj, mj = state.group[j_idx][None, :], state.mask[j_idx][None, :]
-    m &= ((gi & mj) != 0) & ((gj & mi) != 0)
-    # NOTE: exclusion lists are applied AFTER compaction (checking them inside
-    # the dense mask would cost an [N,N,16] compare — ~1.6e9 elements at 10k
-    # bodies); see find_pairs.
+    m &= ((state.group[i] & state.mask[j]) != 0) \
+        & ((state.group[j] & state.mask[i]) != 0)
+    return m
+
+
+PLANE_PAIR_MARGIN = 0.05  # halfspace pairing slack (> collision_threshold
+                          # so speculative contacts + hysteresis survive)
+
+
+def _overlap_elt(state, i, j):
+    amin, amax = state.aabb_min, state.aabb_max
+    o = jnp.all(amin[i] <= amax[j], axis=-1)
+    o &= jnp.all(amax[i] >= amin[j], axis=-1)
+
+    # plane bodies get a world-sized slab AABB (shapes/aabb.py PLANE_EXTENT),
+    # which would pair them with EVERY body. Replace that test with the exact
+    # AABB-vs-halfspace predicate: nearest-corner distance along the normal
+    # (reference analogue: planes live in the non-procedural tree and
+    # narrowphase rejects by distance; here the reject moves into broadphase
+    # so far-away bodies never occupy manifold slots).
+    def plane_clip(o, p, other):
+        is_p = state.shape_type[p] == ShapeType.PLANE
+        prm = state.shape_params[p]
+        n = prm[..., 0:3]
+        c = prm[..., 3]
+        lo = jnp.sum(jnp.minimum(amin[other] * n, amax[other] * n), -1)
+        return o & (~is_p | (lo <= c + PLANE_PAIR_MARGIN))
+
+    o = plane_clip(o, i, j)
+    o = plane_clip(o, j, i)
+    return o
+
+
+def _pair_filters(state, i_idx, j_idx):
+    """Grid [I,J] eligibility (dense path): elementwise filters + strict
+    upper-triangular dedupe."""
+    m = _pair_filters_elt(state, i_idx[:, None], j_idx[None, :])
+    m &= i_idx[:, None] < j_idx[None, :]
     return m
 
 
 def _overlap(state, i_idx, j_idx):
+    return _overlap_elt(state, i_idx[:, None], j_idx[None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("max_pairs", "window",
+                                             "wide_cap", "should_collide_fn"))
+def find_pairs_sweep(state, max_pairs: int, window: int = 128,
+                     wide_cap: int = 64, should_collide_fn=None):
+    """Sort-and-sweep broadphase (reference analogue: the dynamic AABB tree,
+    collision/dynamic_tree.hpp — reformulated as one sort + windowed
+    neighbor scan, the TPU-friendly sweep-and-prune).
+
+    Bodies are sorted by AABB min along the highest-variance axis (chosen
+    per step, data-dependently — no re-trace); each body tests the next
+    ``window`` bodies in sweep order. Bodies whose axis extent spans a large
+    fraction of the world ("wide": planes, terrain meshes) would overlap
+    everything in sweep order, so up to ``wide_cap`` of them are handled as
+    dense rows against all bodies instead. O(N log N + N*window + wide*N)
+    work and memory vs the dense path's O(N^2) — the 50k+ scalability story.
+
+    Returns (keys sorted asc, body_a, body_b, valid, dropped) exactly like
+    the dense path; `dropped` also counts conservative beyond-window alarms.
+    """
+    N = state.capacity
+    W = min(window, max(N - 1, 1))
+    idx = jnp.arange(N)
     amin, amax = state.aabb_min, state.aabb_max
-    o = jnp.all(amin[i_idx][:, None, :] <= amax[j_idx][None, :, :], axis=-1)
-    o &= jnp.all(amax[i_idx][:, None, :] >= amin[j_idx][None, :, :], axis=-1)
-    return o
+    valid = state.valid & (state.shape_type != ShapeType.NONE)
+
+    # axis: largest variance of AABB centers over valid bodies
+    cen = 0.5 * (amin + amax)
+    nv = jnp.maximum(jnp.sum(valid), 1)
+    mean = jnp.sum(jnp.where(valid[:, None], cen, 0.0), 0) / nv
+    var = jnp.sum(jnp.where(valid[:, None], (cen - mean) ** 2, 0.0), 0)
+    oh = (jnp.arange(3) == jnp.argmax(var)).astype(amin.dtype)
+    smin = amin @ oh
+    smax = amax @ oh
+
+    # wide bodies: axis extent over a fraction of the world span
+    lo_w = jnp.min(jnp.where(valid, smin, jnp.inf))
+    hi_w = jnp.max(jnp.where(valid, smax, -jnp.inf))
+    span = jnp.maximum(hi_w - lo_w, 1e-6)
+    wide = valid & ((smax - smin) > 0.25 * span)
+    narrow = valid & ~wide
+
+    skey = jnp.where(narrow, smin, jnp.inf)
+    order = jnp.argsort(skey).astype(jnp.int32)
+    os_min = skey[order]
+    os_max = jnp.where(narrow[order], smax[order], -jnp.inf)
+
+    # windowed neighbor scan in sweep order
+    koff = jnp.arange(1, W + 1, dtype=jnp.int32)
+    nbr = idx[:, None] + koff[None, :]                    # [N,W]
+    in_rng = nbr < N
+    nbr_c = jnp.minimum(nbr, N - 1)
+    i2 = jnp.broadcast_to(order[:, None], (N, W))
+    j2 = order[nbr_c]
+    m = in_rng & (os_min[nbr_c] <= os_max[:, None])
+    m &= _pair_filters_elt(state, i2, j2)
+    m &= _overlap_elt(state, i2, j2)
+    if should_collide_fn is not None:
+        m &= should_collide_fn(state, i2, j2)
+
+    # conservative beyond-window ALARM (axis-overlap continues past the
+    # window). This can fire without any real missed pair (e.g. bodies
+    # stacked along the sweep axis during free fall), so it is reported
+    # SEPARATELY from definite drops — treat a persistent non-zero alarm as
+    # "consider raising SceneMeta.sweep_window".
+    beyond = jnp.minimum(idx + W + 1, N - 1)
+    alarms = jnp.sum((os_min[beyond] <= os_max) & (idx + W + 1 < N))
+
+    # wide rows: dense against all bodies; dedupe wide-wide by index order
+    wloc, wcnt = _compact(wide, wide_cap)
+    wi = jnp.where(wloc >= 0, wloc, 0)
+    iw = jnp.broadcast_to(wi[:, None], (wide_cap, N))
+    jw = jnp.broadcast_to(idx[None, :], (wide_cap, N))
+    mw = (wloc >= 0)[:, None] & _pair_filters_elt(state, iw, jw)
+    mw &= _overlap_elt(state, iw, jw)
+    mw &= ~wide[jw] | (jw > iw)
+    if should_collide_fn is not None:
+        mw &= should_collide_fn(state, iw, jw)
+
+    # compact both mask blocks into the pair list
+    flat = jnp.concatenate([m.reshape(-1), mw.reshape(-1)])
+    loc, count = _compact(flat, max_pairs)
+    ok = loc >= 0
+    is_n = loc < N * W
+    ln = jnp.clip(loc, 0, N * W - 1)
+    a_n = order[ln // W]
+    j_off = jnp.minimum(ln // W + 1 + ln % W, N - 1)
+    b_n = order[j_off]
+    lw = jnp.clip(loc - N * W, 0, wide_cap * N - 1)
+    a_w = wi[lw // N]
+    b_w = lw % N
+    a_ = jnp.where(is_n, a_n, a_w)
+    b_ = jnp.where(is_n, b_n, b_w)
+    lo_ab = jnp.minimum(a_, b_)
+    hi_ab = jnp.maximum(a_, b_)
+    keys = jnp.where(ok, lo_ab * N + hi_ab, INVALID_KEY).astype(jnp.int32)
+    keys = jnp.sort(keys)
+
+    valid_k = keys != INVALID_KEY
+    body_a = jnp.where(valid_k, keys // N, 0)
+    body_b = jnp.where(valid_k, keys % N, 0)
+    ex_a = state.exclusions[body_a]
+    excluded = jnp.any(ex_a == body_b[:, None], axis=-1)
+    valid_k &= ~excluded
+    dropped = (jnp.maximum(count - max_pairs, 0)
+               + jnp.maximum(wcnt - wide_cap, 0))
+    return keys, body_a, body_b, valid_k, dropped, alarms
 
 
 @functools.partial(jax.jit, static_argnames=("max_pairs", "block",
@@ -91,11 +226,14 @@ def find_pairs(state, max_pairs: int, block: int = 256,
         # gather rounds.
         m = _pair_filters(state, idx, idx)
         if should_collide_fn is not None:
-            m &= should_collide_fn(state, idx, idx)
+            m &= should_collide_fn(state, idx[:, None], idx[None, :])
         m &= _overlap(state, idx, idx)
 
-        row_cum = jnp.cumsum(m.astype(jnp.int32), axis=1)     # [N,N] inclusive
-        row_counts = row_cum[:, -1]                           # [N]
+        # int16 halves the [N,N] cumsum's memory traffic (row counts < 32k
+        # by construction while N < 32k; the dense path is capped well below)
+        cum_dtype = jnp.int16 if N < 32_000 else jnp.int32
+        row_cum = jnp.cumsum(m.astype(cum_dtype), axis=1)     # [N,N] inclusive
+        row_counts = row_cum[:, -1].astype(jnp.int32)         # [N]
         offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                    jnp.cumsum(row_counts)])   # [N+1]
         total = offsets[-1]
@@ -137,7 +275,7 @@ def find_pairs(state, max_pairs: int, block: int = 256,
             i_c = jnp.minimum(i_idx, N - 1)
             m = _pair_filters(state, i_c, idx)
             if should_collide_fn is not None:
-                m &= should_collide_fn(state, i_c, idx)
+                m &= should_collide_fn(state, i_c[:, None], idx[None, :])
             m &= i_idx[:, None] < N
             m &= _overlap(state, i_c, idx)
             flat = m.reshape(-1)

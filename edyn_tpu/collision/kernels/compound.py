@@ -29,7 +29,7 @@ def _expand_children(state, body_idx, reps_other=1):
     K, CH = rows.shape
     rows_c = jnp.maximum(rows, 0)
 
-    pos_b = state.pos[body_idx]
+    pos_b = state.origin_pos()[body_idx]
     orn_b = state.orn[body_idx]
     pos_w = pos_b[:, None, :] + quat.rotate(orn_b[:, None, :], ct.child_pos[ci])
     orn_w = quat.mul(orn_b[:, None, :], ct.child_orn[ci])

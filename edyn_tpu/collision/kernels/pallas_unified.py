@@ -159,7 +159,7 @@ def pack_side_table_t(state):
     def cm(x):  # [N, G, 3] -> [3G, N] component-major
         return x.transpose(2, 1, 0).reshape(3 * x.shape[1], x.shape[0])
 
-    rows = [state.pos.T, state.orn.T,
+    rows = [state.origin_pos().T, state.orn.T,
             pad(f(cx.radius))[None, :], pad(f(cx.disc_r))[None, :],
             pad(f(cx.disc_axis)).T,
             cm(pad(cx.verts)), pad(f(cx.vert_mask)).T,

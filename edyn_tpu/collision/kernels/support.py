@@ -73,7 +73,7 @@ def pack_side_table(state):
         return x[:N]
 
     return jnp.concatenate([
-        state.pos, state.orn, state.shape_params, pad(f(cx.radius)[:, None]),
+        state.origin_pos(), state.orn, state.shape_params, pad(f(cx.radius)[:, None]),
         pad(f(cx.disc_r)[:, None]), pad(f(cx.disc_axis)),
         pad(cx.verts.reshape(Ncx, V * 3)), pad(f(cx.vert_mask)),
         pad(cx.face_normals.reshape(Ncx, F * 3)), pad(f(cx.face_mask)),

@@ -86,7 +86,7 @@ def classify(ta, tb):
 
 def _gather_side(state, idx) -> Side:
     cx = state.convex
-    return Side(pos=state.pos[idx], orn=state.orn[idx],
+    return Side(pos=state.origin_pos()[idx], orn=state.orn[idx],
                 params=state.shape_params[idx],
                 verts=cx.verts[idx], vert_mask=cx.vert_mask[idx],
                 radius=cx.radius[idx],
@@ -169,8 +169,16 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
 
     for bucket in present:
         want = cls == bucket
-        this_cap = cap if bucket in (B_UNIFIED, B_PLANE, B_BOXBOX) else \
-            max(256, cap // 4)
+        # per-class width budgets (any truncation is counted in `dropped` and
+        # surfaced via overflow counters): the unified bucket dominates pair
+        # counts; plane/boxbox are sized down so their kernels don't run at
+        # full manifold width (measured 7x oversized on the 10k pile)
+        if bucket == B_UNIFIED:
+            this_cap = cap
+        elif bucket == B_PLANE:
+            this_cap = max(256, cap // 2)
+        else:
+            this_cap = max(256, cap // 4)
         sel, sel_ok, bucket_dropped = _compact_sel(want, this_cap, M)
         dropped = dropped + bucket_dropped
         sel_c = jnp.minimum(sel, M - 1)
@@ -269,9 +277,10 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     # rolling analogue of the reference's rolling_tag: round dynamic shapes
     rolling = (((state.shape_type == S.SPHERE) | (state.shape_type == S.CAPSULE)
                 | (state.shape_type == S.CYLINDER)) & state.is_dynamic)
-    pose = (state.pos[man.body_a], orn_a[:, 0], state.angvel[man.body_a],
+    org = state.origin_pos()
+    pose = (org[man.body_a], orn_a[:, 0], state.angvel[man.body_a],
             rolling[man.body_a],
-            state.pos[man.body_b], orn_b[:, 0], state.angvel[man.body_b],
+            org[man.body_b], orn_b[:, 0], state.angvel[man.body_b],
             rolling[man.body_b])
 
     return merge_points(man, new_pivot_a, new_pivot_b, local_n, new_attach,

@@ -160,7 +160,7 @@ def raycast(state, p0, p1, max_candidates: int = 16):
     flat = cand.reshape(-1)
     C = flat.shape[0]
     # ray into each candidate body's object space
-    pos_c = state.pos[flat]
+    pos_c = state.origin_pos()[flat]
     orn_c = state.orn[flat]
     p0_l = quat.rotate_inv(orn_c, jnp.repeat(p0, H, 0) - pos_c)
     d_l = quat.rotate_inv(orn_c, jnp.repeat(d, H, 0))
@@ -182,23 +182,43 @@ def raycast(state, p0, p1, max_candidates: int = 16):
     t_l, n_l = _ray_shape_local(state.shape_type[flat], state.shape_params[flat],
                                 verts, vmask, fnorm, fmask, p0_l, d_l)
 
-    # MESH candidates: Moller-Trumbore over the mesh's triangles
-    # (reference: raycast.cpp:380-430 mesh/paged-mesh raycast)
+    # MESH candidates: walk the baked candidate grid along the ray instead of
+    # testing every triangle (reference walks the static BVH, raycast.cpp:380;
+    # here: sample the ray at cell-size spacing, gather each cell's <=CAP
+    # triangle ids, Moller-Trumbore only those). Work per candidate is
+    # S*CAP triangles regardless of mesh size.
     mesh = state.mesh
     if mesh.tri_verts.shape[0] > 0:
+        RAY_CELLS = 32  # grid cells sampled along the segment
         is_mesh = (state.shape_type[flat] == ShapeType.MESH) | \
                   (state.shape_type[flat] == ShapeType.PAGED_MESH)
         msi = jnp.clip(state.shape_index[flat], 0, mesh.tri_verts.shape[0] - 1)
-        tv = mesh.tri_verts[msi]                                  # [C,T,3,3]
-        tmask = mesh.tri_mask[msi]
+        cell = mesh.grid_cell[msi]                                # [C]
+        # sample points spaced one cell apart (covers |d| up to S*cell; the
+        # tail sample set is clamped to the segment end so short rays hit
+        # every cell and long rays degrade to sparse sampling + the end cell)
+        dlen = jnp.maximum(vec.length(d_l), 1e-9)
+        step_t = jnp.minimum(cell / dlen, 1.0 / RAY_CELLS)
+        ts = jnp.minimum(step_t[:, None] * jnp.arange(RAY_CELLS + 1)[None, :],
+                         1.0)                                     # [C,S+1]
+        pts = p0_l[:, None, :] + d_l[:, None, :] * ts[..., None]  # [C,S+1,3]
+        from ..shapes.mesh import candidate_tris
+        S1 = RAY_CELLS + 1
+        ids = candidate_tris(mesh, jnp.repeat(msi, S1),
+                             pts.reshape(-1, 3))                  # [C*S1,CAP]
+        ids = ids.reshape(C, -1)                                  # [C,S1*CAP]
+        ok_id = ids >= 0
+        idc = jnp.maximum(ids, 0)
+        tv = mesh.tri_verts[msi[:, None], idc]                    # [C,K,3,3]
         t_tri, hit_tri = geom.intersect_segment_triangle(
             p0_l[:, None, :], d_l[:, None, :],
             tv[:, :, 0], tv[:, :, 1], tv[:, :, 2])
+        tmask = mesh.tri_mask[msi[:, None], idc] & ok_id
         t_tri = jnp.where(tmask & hit_tri, t_tri, BIG)
         best_tri = jnp.argmin(t_tri, axis=1)
         t_m = jnp.take_along_axis(t_tri, best_tri[:, None], 1)[:, 0]
-        n_m = jnp.take_along_axis(
-            mesh.tri_normal[msi], best_tri[:, None, None].repeat(3, -1), 1)[:, 0]
+        best_id = jnp.take_along_axis(idc, best_tri[:, None], 1)[:, 0]
+        n_m = mesh.tri_normal[msi, best_id]
         # orient the surface normal against the ray
         n_m = jnp.where(vec.dot(n_m, d_l)[:, None] > 0, -n_m, n_m)
         better = is_mesh & (t_m < t_l)

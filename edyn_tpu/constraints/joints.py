@@ -117,8 +117,10 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     jvalid = jt.valid & ~(state.asleep[a] & state.asleep[b])
     pos_a, orn_a = state.pos[a], state.orn[a]
     pos_b, orn_b = state.pos[b], state.orn[b]
-    rA = quat.rotate(orn_a, jt.pivot_a)
-    rB = quat.rotate(orn_b, jt.pivot_b)
+    # joint pivots are authored in the ORIGIN frame; pos is the COM, so the
+    # moment arm is R*(pivot - com) (reference: origin-aware constraint prep)
+    rA = quat.rotate(orn_a, jt.pivot_a - state.com[a])
+    rB = quat.rotate(orn_b, jt.pivot_b - state.com[b])
     pa_w = pos_a + rA
     pb_w = pos_b + rB
     va, wa = state.linvel[a], state.angvel[a]
@@ -244,17 +246,18 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     lim_min = jt.params[:, 0]
     lim_max = jt.params[:, 1]
     lim_rest = jt.params[:, 2]
-    below = angle < lim_min
-    above = angle > lim_max
-    lim_err = jnp.where(below, angle - lim_min,
-                        jnp.where(above, angle - lim_max, 0.0))
-    # target J.v = +lim_err*erp/dt (J.v = -dangle/dt): pushes angle back into
-    # range; one-sided impulse sign per side; limit restitution bounces the
-    # angular velocity (reference: options.restitution on the limit row)
-    r_lim = lim_err / dt * ERP - relw * (1.0 + lim_rest)
-    lo_lim = jnp.where(below, -BIG, 0.0)
-    hi_lim = jnp.where(below, 0.0, BIG)
-    set_row(5, hinge & has_limit & (below | above), zero3, ax_a, zero3, -ax_a,
+    # ALWAYS-ON speculative limit row toward the nearest bound (reference:
+    # hinge_constraint.cpp:91-113 — one-sided row with error =
+    # (bound - angle)/dt, so an approaching swing sheds exactly the angular
+    # velocity that would carry it past the limit; a gated-on-violation row
+    # overshoots by the full approach speed before engaging)
+    mid_h = 0.5 * (lim_min + lim_max)
+    near_min_h = angle < mid_h
+    lim_err = jnp.where(near_min_h, lim_min - angle, lim_max - angle)
+    r_lim = -(lim_err / dt * ERP + relw * (1.0 + lim_rest))
+    lo_lim = jnp.where(near_min_h, -BIG, 0.0)
+    hi_lim = jnp.where(near_min_h, 0.0, BIG)
+    set_row(5, hinge & has_limit, zero3, ax_a, zero3, -ax_a,
             r_lim, lo=lo_lim, hi=hi_lim)
     # friction + damping torque about the axis
     fr_t = jt.params[:, 5]
@@ -613,10 +616,35 @@ def solve_joint_positions(state, num_iterations: int = 3,
             R = quat.to_matrix(orn_ab)
             Iw = jnp.einsum("rij,rjk,rlk->ril", R, state.inertia_inv[ab], R)
 
-        # --- linear: join pivot points ---
+        # --- hinge/cvjoint angular limit clamp (position level). The
+        # velocity-level limit row alone converges slowly for long-arm
+        # pendulums under batched mass-split GS (spin and orbit couple only
+        # through the point rows), so violations are also corrected
+        # positionally here — same role as the contact NGS for penetration.
+        qa2 = quat.mul(orn_ab[:Jn], jt.frame_a)
+        qb2 = quat.mul(orn_ab[Jn:], jt.frame_b)
+        Ma2 = quat.to_matrix(qa2)
+        Mb2 = quat.to_matrix(qb2)
+        axh = Ma2[..., :, 0]
+        cur = jnp.arctan2(vec.dot(Mb2[..., :, 1], Ma2[..., :, 2]),
+                          vec.dot(Mb2[..., :, 1], Ma2[..., :, 1]))
+        lim_mn = jt.params[:, 0]
+        lim_mx = jt.params[:, 1]
+        has_lim = (is_(JointType.HINGE) & (jt.params[:, 9] > 0.5)) \
+            | (is_(JointType.CVJOINT) & (lim_mn < lim_mx))
+        viol = jnp.where(cur < lim_mn, cur - lim_mn,
+                         jnp.where(cur > lim_mx, cur - lim_mx, 0.0))
+        active = jvalid & has_lim & (jnp.abs(viol) > 1e-9)
+        pos, orn = solve_row(pos, orn, Iw, z3, axh, z3, -axh, viol, active)
+        orn_ab = orn[ab]
+        R = quat.to_matrix(orn_ab)
+        Iw = jnp.einsum("rij,rjk,rlk->ril", R, state.inertia_inv[ab], R)
+
+        # --- linear: join pivot points (pivots in origin frame; arm about
+        # the COM: R*(pivot - com)) ---
         pos_ab = pos[ab]
-        rA = quat.rotate(orn_ab[:Jn], jt.pivot_a)
-        rB = quat.rotate(orn_ab[Jn:], jt.pivot_b)
+        rA = quat.rotate(orn_ab[:Jn], jt.pivot_a - state.com[a])
+        rB = quat.rotate(orn_ab[Jn:], jt.pivot_b - state.com[b])
         pA = pos_ab[:Jn] + rA
         pB = pos_ab[Jn:] + rB
         d = pA - pB

@@ -79,19 +79,26 @@ class WorldBuilder:
         self.material_mixes: list[tuple[int, int, "Material"]] = []
         # user/external component specs: name -> (shape, dtype, default)
         self.user_components: dict[str, tuple] = {}
+        self.user_component_policies: dict[str, str] = {}
 
     def register_component(self, name: str, shape=(), dtype=None,
-                           default=0.0):
+                           default=0.0, replicate=None):
         """Register a user component column [N, *shape] that rides the state
         pytree, replicates in snapshots, and can be an input-history target
         (reference: register_external_components,
-        include/edyn/replication/register_external.hpp:28-67)."""
+        include/edyn/replication/register_external.hpp:28-67).
+
+        ``replicate``: None (local-only) or a replication/exporter.py policy —
+        "transient" (unreliable continuous), "reliable" (on change),
+        "input" (client->server input stream)."""
         import jax.numpy as jnp
         from ..replication.snapshot import COMPONENT_COLUMNS
         if name in COMPONENT_COLUMNS:
             raise ValueError(f"{name!r} is a built-in component")
         self.user_components[name] = (tuple(shape),
                                       dtype or jnp.float32, default)
+        if replicate is not None:
+            self.user_component_policies[name] = replicate
 
     # -- bodies ---------------------------------------------------------
     def make_rigidbody(self, def_: RigidBodyDef) -> int:
@@ -177,6 +184,12 @@ class WorldBuilder:
         stype = np.zeros((N,), np.int32)
         sparams = np.zeros((N, 4), f)
         sindex = np.zeros((N,), np.int32)
+        com = np.zeros((N, 3), f)
+
+        def _qrot(q, v):
+            qv = q[:3]
+            t = 2.0 * np.cross(qv, v)
+            return v + q[3] * t + np.cross(qv, t)
 
         for i, d in enumerate(self.defs):
             valid[i] = True
@@ -186,6 +199,13 @@ class WorldBuilder:
             orn[i] /= np.linalg.norm(orn[i])
             linvel[i] = d.linvel
             angvel[i] = d.angvel
+            if d.center_of_mass is not None:
+                # def.position is the shape ORIGIN; stored pos is the world
+                # COM (reference: apply_center_of_mass, rigidbody.cpp:517-543)
+                com[i] = d.center_of_mass
+                com_w = _qrot(np.asarray(orn[i], np.float64), com[i])
+                pos[i] = np.asarray(d.position) + com_w
+                linvel[i] = np.asarray(d.linvel) + np.cross(angvel[i], com_w)
             gravity[i] = d.gravity if d.gravity is not None else (
                 self.default_gravity if d.kind == KIND_DYNAMIC else 0.0)
             sleeping_dis[i] = d.sleeping_disabled
@@ -232,6 +252,15 @@ class WorldBuilder:
                 else:
                     raise ValueError("dynamic amorphous body requires explicit inertia "
                                      "(reference: rigidbody.hpp:41-43)")
+                if d.center_of_mass is not None and d.inertia is None:
+                    # parallel-axis shift: rotation happens about the user's
+                    # COM (reference: shift_moment_of_inertia,
+                    # moment_of_inertia.cpp:217-220)
+                    dvec = np.asarray(d.center_of_mass, np.float64)
+                    sk = np.array([[0, -dvec[2], dvec[1]],
+                                   [dvec[2], 0, -dvec[0]],
+                                   [-dvec[1], dvec[0], 0]])
+                    I = I + d.mass * (sk.T @ sk)
                 inertia_inv[i] = np.linalg.inv(I)
 
             if d.material is not None:
@@ -331,6 +360,7 @@ class WorldBuilder:
             pos=jnp.asarray(pos), orn=jnp.asarray(orn),
             linvel=jnp.asarray(linvel), angvel=jnp.asarray(angvel),
             mass_inv=jnp.asarray(mass_inv), inertia_inv=jnp.asarray(inertia_inv),
+            com=jnp.asarray(com),
             restitution=jnp.asarray(restitution), friction=jnp.asarray(friction),
             spin_friction=jnp.asarray(spin_fr), roll_friction=jnp.asarray(roll_fr),
             stiffness=jnp.asarray(stiffness), damping=jnp.asarray(damping),
@@ -358,8 +388,8 @@ class WorldBuilder:
         # initial AABBs so raycast/query_aabb work before the first step
         # (the step refreshes them; reference: update_aabbs runs in attach too)
         from ..shapes.aabb import compute_aabbs
-        amin, amax = compute_aabbs(ws.shape_type, ws.shape_params, ws.pos,
-                                   ws.orn, ws.poly, ws.shape_index, ws.mesh,
-                                   ws.convex)
+        amin, amax = compute_aabbs(ws.shape_type, ws.shape_params,
+                                   ws.origin_pos(), ws.orn, ws.poly,
+                                   ws.shape_index, ws.mesh, ws.convex)
         ws = dataclasses.replace(ws, aabb_min=amin, aabb_max=amax)
         return ws

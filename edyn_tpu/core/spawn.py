@@ -71,15 +71,35 @@ def spawn_rigidbody(state: WorldState, d: RigidBodyDef, slot: int | None = None,
     orn = np.asarray(d.orientation, np.float64)
     orn = orn / np.linalg.norm(orn)
 
+    # center of mass: def.position is the shape ORIGIN; stored pos is the
+    # world COM (reference: apply_center_of_mass, rigidbody.cpp:517-543)
+    com = np.zeros(3)
+    pos_w = np.asarray(d.position, np.float64)
+    linvel = np.asarray(d.linvel, np.float64)
+    if d.center_of_mass is not None:
+        com = np.asarray(d.center_of_mass, np.float64)
+        qv, qw = orn[:3], orn[3]
+        t = 2.0 * np.cross(qv, com)
+        com_w = com + qw * t + np.cross(qv, t)
+        pos_w = pos_w + com_w
+        linvel = linvel + np.cross(np.asarray(d.angvel, np.float64), com_w)
+        if d.kind == KIND_DYNAMIC and d.inertia is None:
+            sk = np.array([[0, -com[2], com[1]],
+                           [com[2], 0, -com[0]],
+                           [-com[1], com[0], 0]])
+            inertia_inv = np.linalg.inv(np.linalg.inv(inertia_inv)
+                                        + d.mass * (sk.T @ sk))
+
     st = state
     set_ = lambda col, val: getattr(st, col).at[i].set(val)
     st = dataclasses.replace(
         st,
         valid=set_("valid", True),
         kind=set_("kind", d.kind),
-        pos=set_("pos", jnp.asarray(d.position, jnp.float32)),
+        pos=set_("pos", jnp.asarray(pos_w, jnp.float32)),
+        com=set_("com", jnp.asarray(com, jnp.float32)),
         orn=set_("orn", jnp.asarray(orn, jnp.float32)),
-        linvel=set_("linvel", jnp.asarray(d.linvel, jnp.float32)),
+        linvel=set_("linvel", jnp.asarray(linvel, jnp.float32)),
         angvel=set_("angvel", jnp.asarray(d.angvel, jnp.float32)),
         mass_inv=set_("mass_inv", mass_inv),
         inertia_inv=set_("inertia_inv", jnp.asarray(inertia_inv, jnp.float32)),
@@ -161,6 +181,7 @@ def destroy_rigidbody(state: WorldState, i: int) -> WorldState:
     return dataclasses.replace(
         state,
         valid=state.valid.at[i].set(False),
+        com=state.com.at[i].set(0.0),
         shape_type=state.shape_type.at[i].set(int(ShapeType.NONE)),
         linvel=state.linvel.at[i].set(0.0),
         angvel=state.angvel.at[i].set(0.0),

@@ -174,7 +174,11 @@ class WorldState:
     angvel: jnp.ndarray       # [N,3]
     # mass properties
     mass_inv: jnp.ndarray     # [N]
-    inertia_inv: jnp.ndarray  # [N,3,3] local-space inverse inertia
+    inertia_inv: jnp.ndarray  # [N,3,3] local-space inverse inertia (about COM)
+    # center of mass offset in the SHAPE (origin) frame; ``pos`` is the world
+    # COM, the shape sits at origin = pos - R*com (reference:
+    # comp/center_of_mass.hpp, comp/origin.hpp, sys/update_origins.cpp)
+    com: jnp.ndarray          # [N,3]
     # material (has_material=False => sensor: detects but doesn't respond)
     restitution: jnp.ndarray  # [N]
     friction: jnp.ndarray     # [N]
@@ -223,8 +227,9 @@ class WorldState:
     sim_time: jnp.ndarray     # [] float32
     # capacity-overflow counters, refreshed each step (silent truncation is
     # surfaced, not swallowed): [0] broadphase pairs dropped, [1] narrowphase
-    # bucket candidates dropped, [2] solver contact rows dropped
-    overflow: jnp.ndarray     # [3] int32
+    # bucket candidates dropped, [2] solver contact rows dropped,
+    # [3] sweep-broadphase beyond-window alarms (conservative, may be benign)
+    overflow: jnp.ndarray     # [4] int32
 
     # --- convenience ---
     @property
@@ -261,6 +266,7 @@ class WorldState:
             angvel=jnp.zeros((N, 3)),
             mass_inv=jnp.zeros((N,)),
             inertia_inv=jnp.zeros((N, 3, 3)),
+            com=jnp.zeros((N, 3)),
             restitution=jnp.zeros((N,)),
             friction=jnp.full((N,), 0.5),
             spin_friction=jnp.zeros((N,)),
@@ -295,8 +301,14 @@ class WorldState:
             user={},
             step_count=jnp.zeros((), jnp.int32),
             sim_time=jnp.zeros(()),
-            overflow=jnp.zeros((3,), jnp.int32),
+            overflow=jnp.zeros((4,), jnp.int32),
         )
+
+    def origin_pos(self):
+        """Shape-origin world positions: pos - R*com (reference:
+        sys/update_origins.cpp — recomputed on the fly, never stored)."""
+        from ..math import quat
+        return self.pos - quat.rotate(self.orn, self.com)
 
     def inertia_world_inv(self):
         """World-space inverse inertia R I_l^-1 R^T per body (reference:

@@ -30,7 +30,7 @@ def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
     present = frozenset(int(t) for t in np.unique(stypes[valid]))
     if max_pairs is None:
         n = int(valid.sum())
-        max_pairs = max(256, min(10 * n, 1 << 18))
+        max_pairs = max(256, min(14 * n, 1 << 18))
     max_pairs = min(max_pairs, state.contacts.key.shape[0])
     kw.setdefault("bucket_cap", max(512, max_pairs // 2))
     kw.setdefault("max_rows", 2 * max_pairs)
@@ -101,6 +101,34 @@ class World:
     def is_asleep(self, i) -> bool:
         return bool(self.state.asleep[i])
 
+    def origin(self, i):
+        """Shape-origin world position (reference: comp/origin.hpp)."""
+        return np.asarray(self.state.origin_pos()[i])
+
+    def set_center_of_mass(self, i, com):
+        """Move the body's COM keeping the shape's world pose fixed: the
+        stored position shifts to the new world COM and linvel picks up the
+        ω×Δr term (reference: edyn::set_center_of_mass →
+        apply_center_of_mass, src/edyn/util/rigidbody.cpp:364-543). The
+        inertia tensor is NOT changed (matches the reference — pass an
+        explicit inertia at creation for a physically different mass
+        distribution)."""
+        from ..math import quat as _q
+        st = self.state
+        com = jnp.asarray(com, jnp.float32)
+        orn = st.orn[i]
+        origin = st.pos[i] - _q.rotate(orn, st.com[i])
+        com_w = origin + _q.rotate(orn, com)
+        dlin = vec.cross(st.angvel[i], com_w - st.pos[i])
+        self.state = dataclasses.replace(
+            st,
+            pos=st.pos.at[i].set(com_w),
+            com=st.com.at[i].set(com),
+            linvel=st.linvel.at[i].add(dlin),
+            asleep=st.asleep.at[i].set(False),
+            sleep_timer=st.sleep_timer.at[i].set(0.0))
+        return self
+
     # -- mutators (reference: util/rigidbody.cpp apply impulses etc.) ---
     def apply_impulse(self, i, impulse, rel_location=(0.0, 0.0, 0.0)):
         """reference: rigidbody_apply_impulse (src/edyn/util/rigidbody.cpp)."""
@@ -160,7 +188,8 @@ class World:
         ovf = np.asarray(self.state.overflow)
         return {"broadphase_pairs": int(ovf[0]),
                 "narrowphase_candidates": int(ovf[1]),
-                "contact_rows": int(ovf[2])}
+                "contact_rows": int(ovf[2]),
+                "broadphase_window_alarms": int(ovf[3])}
 
     def query_aabb(self, lo, hi, include_non_procedural=True):
         """reference: include/edyn/collision/query_aabb.hpp."""
@@ -302,7 +331,11 @@ def make_world(builder: WorldBuilder, settings: Settings = Settings(),
     table share the same (sorted-by-key) layout."""
     if max_pairs is None:
         n = len(builder.defs)
-        max_pairs = max(256, min(10 * n, 1 << 18))
+        max_pairs = max(256, min(14 * n, 1 << 18))
     finalize_kw.setdefault("max_manifolds", max_pairs)
     state = builder.finalize(capacity=capacity, **finalize_kw)
-    return World(state, settings, derive_meta(state, max_pairs))
+    w = World(state, settings, derive_meta(state, max_pairs))
+    # per-component replication policies for user components (reference:
+    # register_external network fidelity; replication/exporter.py)
+    w.user_component_policies = dict(builder.user_component_policies)
+    return w

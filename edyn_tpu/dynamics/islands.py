@@ -28,12 +28,28 @@ from ..config import (
 from ..math import vec
 
 
-def compute_islands(state, man, num_iters: int = 16):
+RESET_PERIOD = 8  # steps between label re-seeds (split correctness)
+
+
+def compute_islands(state, man, num_iters: int = 16, warm_start: bool = True):
     """Returns per-body island labels in [0, N); non-dynamic bodies get their
-    own index (they belong to many islands; reference: multi_island_resident)."""
+    own index (they belong to many islands; reference: multi_island_resident).
+
+    ``warm_start`` seeds from the previous step's labels so a few iterations
+    per step suffice (propagation continues across steps); every RESET_PERIOD
+    steps the seed reverts to identity so SPLIT islands re-separate (min-label
+    propagation can only merge). Transient fragmentation right after a reset
+    is harmless: the sleep timer needs 2 s of consecutive quiet, so a 1-2 step
+    fragmentation window never produces a wrong sleep."""
     N = state.capacity
     dyn = state.is_dynamic
-    labels = jnp.arange(N, dtype=jnp.int32)
+    ident = jnp.arange(N, dtype=jnp.int32)
+    if warm_start:
+        reset = (state.step_count % RESET_PERIOD) == 0
+        labels = jnp.where(reset, ident, jnp.minimum(state.island_id, ident))
+        labels = jnp.where(state.island_id < 0, ident, labels)
+    else:
+        labels = ident
 
     def edges(a, b, valid):
         both_dyn = dyn[a] & dyn[b] & valid
@@ -61,7 +77,7 @@ def compute_islands(state, man, num_iters: int = 16):
     return labels
 
 
-def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 16):
+def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 4):
     """Recompute island labels, advance sleep timers, and derive the asleep
     mask. Sleeping bodies' velocities are zeroed (the reference removes them
     from every system via sleeping_tag view exclusion; here the mask gates the

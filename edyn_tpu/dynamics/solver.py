@@ -144,11 +144,11 @@ def scatter_add_ab(dvw, ab, lin_a, ang_a, lin_b, ang_b):
 
 
 def pack_solver_view(state):
-    """[N,30] per-body inputs for row building — ONE gather per row side.
+    """[N,32] per-body inputs for row building — ONE gather per row side.
 
     Layout: orn 0:4 | linvel 4:7 | angvel 7:10 | inv_m 10 | inv_I world 11:20
     | friction 20 | restitution 21 | spin_f 22 | roll_f 23 | stiffness 24 |
-    damping 25 | material_id 26 | has_material 27 | asleep 28 | pad 29."""
+    damping 25 | material_id 26 | has_material 27 | asleep 28 | com 29:32."""
     N = state.capacity
     Iw = state.inertia_world_inv().reshape(N, 9)
     f = lambda x: x.astype(jnp.float32)[:, None]
@@ -157,7 +157,7 @@ def pack_solver_view(state):
         f(state.friction), f(state.restitution), f(state.spin_friction),
         f(state.roll_friction), f(state.stiffness), f(state.damping),
         f(state.material_id), f(state.has_material), f(state.asleep),
-        jnp.zeros((N, 1), jnp.float32),
+        state.com,
     ], axis=1)
 
 
@@ -265,8 +265,10 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
 
     n = jnp.where((attach == 1)[:, None], quat.rotate(orn_a, ln),
                   jnp.where((attach == 2)[:, None], quat.rotate(orn_b, ln), ln))
-    rA = quat.rotate(orn_a, pa_l)
-    rB = quat.rotate(orn_b, pb_l)
+    # pivots live in the ORIGIN frame; moment arms are about the COM:
+    # world_pivot - pos = R * (pivot_local - com)
+    rA = quat.rotate(orn_a, pa_l - ga[:, 29:32])
+    rB = quat.rotate(orn_b, pb_l - gb[:, 29:32])
 
     if mass_splitting:
         v2 = valid.astype(jnp.float32)
@@ -548,16 +550,17 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
                 - vec.dot(rows.n, vb) + vec.dot(rows.rn.JaB, wb))
 
     def cond(carry):
-        it, velp = carry
-        relvel = relvels(velp)
-        active = rows.valid & (rows.restitution > 0)
-        any_approaching = jnp.any(active & (relvel < relvel_threshold))
-        return (it < num_iterations) & any_approaching
+        # the approach test is computed inside body and CARRIED — the
+        # while predicate itself costs one scalar read per trip instead of
+        # re-running the gather+relvel chain (launch-overhead discipline)
+        it, velp, go = carry
+        return (it < num_iterations) & go
 
     def body(carry):
-        it, velp = carry
+        it, velp, _ = carry
         relvel = relvels(velp)
         active = rows.valid & (relvel < relvel_threshold) & (rows.restitution > 0)
+        go = jnp.any(active)
         rhs = -relvel * (1.0 + rows.restitution)
 
         dvw = jnp.zeros_like(velp)
@@ -599,8 +602,12 @@ def solve_restitution(state, rows: ContactRows, num_iterations: int,
 
         imp3, dvw = jax.lax.fori_loop(
             0, num_individual_iterations, inner, (imp3, dvw))
-        return it + 1, velp + dvw
+        return it + 1, velp + dvw, go
 
     velp0 = jnp.concatenate([state.linvel, state.angvel], axis=1)
-    _, velp = jax.lax.while_loop(cond, body, (jnp.int32(0), velp0))
+    relvel0 = relvels(velp0)
+    go0 = jnp.any(rows.valid & (relvel0 < relvel_threshold)
+                  & (rows.restitution > 0))
+    _, velp, _ = jax.lax.while_loop(cond, body,
+                                    (jnp.int32(0), velp0, go0))
     return velp[:, 0:3], velp[:, 3:6]

@@ -40,8 +40,18 @@ class SceneMeta:
     types_present: frozenset
     max_pairs: int
     bucket_cap: int | None = None
-    island_iters: int = 8
+    # label-propagation rounds per step (warm-started across steps +
+    # periodic reseed; see dynamics/islands.py)
+    island_iters: int = 4
     broadphase_block: int = 256
+    # broadphase algorithm: "auto" = dense below DENSE_LIMIT bodies, sweep
+    # above. "dense" = one-shot [N,N] mask — O(N^2) work but SORT-FREE, which
+    # wins on launch-overhead-bound runtimes (XLA sort lowers to ~log^2(n)
+    # dispatch passes; measured slower than the N^2 mask at 10k). "sweep" =
+    # sort-and-sweep + wide-body rows — O(N*window), the 50k+ scaling path.
+    broadphase_mode: str = "auto"
+    sweep_window: int = 192
+    wide_cap: int = 64
     # contact-row budget: rows are compacted to live contacts (manifolds are
     # padded x4); None = no compaction
     max_rows: int | None = None
@@ -89,14 +99,25 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     dt = settings.fixed_dt
 
     # --- AABBs (reference: sys/update_aabbs) ---
-    amin, amax = compute_aabbs(state.shape_type, state.shape_params, state.pos,
-                               state.orn, state.poly, state.shape_index,
-                               state.mesh, state.convex)
+    amin, amax = compute_aabbs(state.shape_type, state.shape_params,
+                               state.origin_pos(), state.orn, state.poly,
+                               state.shape_index, state.mesh, state.convex)
     state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax)
 
     # --- broadphase ---
-    keys, pa, pb, pvalid, bp_dropped = find_pairs(
-        state, meta.max_pairs, meta.broadphase_block, meta.should_collide_fn)
+    from ..collision.broadphase import DENSE_LIMIT, find_pairs_sweep
+    mode = meta.broadphase_mode
+    if mode == "auto":
+        mode = "dense" if state.capacity <= DENSE_LIMIT else "sweep"
+    if mode == "sweep":
+        keys, pa, pb, pvalid, bp_dropped, bp_alarms = find_pairs_sweep(
+            state, meta.max_pairs, meta.sweep_window, meta.wide_cap,
+            meta.should_collide_fn)
+    else:
+        keys, pa, pb, pvalid, bp_dropped = find_pairs(
+            state, meta.max_pairs, meta.broadphase_block,
+            meta.should_collide_fn)
+        bp_alarms = jnp.zeros((), jnp.int32)
 
     # --- manifold persistence + narrowphase ---
     man = carry_over(state.contacts, keys, pa, pb, pvalid)
@@ -193,7 +214,7 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
         # narrowphase bucket candidates, compacted solver rows)
         overflow=jnp.stack([
             bp_dropped.astype(jnp.int32), np_dropped.astype(jnp.int32),
-            rows.dropped.astype(jnp.int32)]),
+            rows.dropped.astype(jnp.int32), bp_alarms.astype(jnp.int32)]),
     )
 
 

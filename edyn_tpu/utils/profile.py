@@ -44,6 +44,7 @@ class ProfileCounters:
     dropped_broadphase_pairs: int = 0
     dropped_narrowphase_candidates: int = 0
     dropped_contact_rows: int = 0
+    broadphase_window_alarms: int = 0
 
 
 def counters(state) -> ProfileCounters:
@@ -63,6 +64,7 @@ def counters(state) -> ProfileCounters:
         dropped_broadphase_pairs=int(ovf[0]),
         dropped_narrowphase_candidates=int(ovf[1]),
         dropped_contact_rows=int(ovf[2]),
+        broadphase_window_alarms=int(ovf[3]),
     )
 
 
@@ -93,12 +95,21 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
         return res
 
     amin, amax = timed("aabbs", jax.jit(lambda s: compute_aabbs(
-        s.shape_type, s.shape_params, s.pos, s.orn, s.poly, s.shape_index,
-        s.mesh, s.convex)), st)
+        s.shape_type, s.shape_params, s.origin_pos(), s.orn, s.poly,
+        s.shape_index, s.mesh, s.convex)), st)
     st = dc.replace(st, aabb_min=amin, aabb_max=amax)
-    keys, pa, pb, pv, _ = timed(
-        "broadphase", lambda s: find_pairs(s, meta.max_pairs,
-                                           meta.broadphase_block), st)
+    from ..collision.broadphase import DENSE_LIMIT, find_pairs_sweep
+    mode = meta.broadphase_mode
+    if mode == "auto":
+        mode = "dense" if st.capacity <= DENSE_LIMIT else "sweep"
+    if mode == "sweep":
+        keys, pa, pb, pv, _, _al = timed(
+            "broadphase", lambda s: find_pairs_sweep(
+                s, meta.max_pairs, meta.sweep_window, meta.wide_cap), st)
+    else:
+        keys, pa, pb, pv, _ = timed(
+            "broadphase", lambda s: find_pairs(s, meta.max_pairs,
+                                               meta.broadphase_block), st)
     man = timed("manifold_carry", jax.jit(carry_over), st.contacts, keys, pa,
                 pb, pv)
     man, _np_drop = timed("narrowphase", jax.jit(

@@ -103,7 +103,8 @@ def test_custom_should_collide_fn():
     import jax.numpy as jnp
 
     def no_collide(state, i_idx, j_idx):
-        return jnp.zeros((i_idx.shape[0], j_idx.shape[0]), bool)
+        # elementwise contract: i/j broadcastable index arrays
+        return jnp.zeros(jnp.broadcast_shapes(i_idx.shape, j_idx.shape), bool)
 
     b, box = hello_world()
     w = et.make_world(b)
