@@ -18,7 +18,7 @@ from . import packets as pk
 from .clock_sync import ClockSync
 from .extrapolation import extrapolate
 from .input_history import InputHistory, InputRecord
-from .server import def_to_dict
+from .server import _def_from_dict, def_to_dict
 
 CLOCK_SYNC_INTERVAL = 1.0
 SNAPSHOT_RATE = 30.0  # client input/state upload rate
@@ -40,6 +40,14 @@ class NetworkClient:
         self._pending_created: Dict[int, RigidBodyDef] = {}
         # discontinuity offsets for presentation smoothing
         self.disc_pos = np.zeros((world.state.capacity, 3), np.float32)
+        # local asset registry + entities waiting on an asset sync
+        # (reference: asset_ref sync-before-instantiate, Design.md:333-347)
+        self.assets: Dict[int, dict] = {}
+        self._pending_assets: Dict[int, list] = {}  # asset id -> [(srv, pools)]
+        self._requested_assets: set = set()
+
+    def register_asset(self, asset_id: int, def_: RigidBodyDef):
+        self.assets[asset_id] = def_to_dict(def_)
 
     # -- inputs ---------------------------------------------------------
     def record_input(self, now: float, component: str, entities, values):
@@ -140,21 +148,63 @@ class NetworkClient:
                     self.entity_map.erase_local(loc)
         elif isinstance(packet, pk.TransientSnapshot):
             self._handle_snapshot(packet, now)
+        elif isinstance(packet, pk.GeneralSnapshot):
+            # reliable component state for non-owned entities
+            snap = packet.snapshot
+            keep = np.array(
+                [not (self.entity_map.has_remote(int(e)) and
+                      self.entity_map.to_local(int(e)) in self.owned)
+                 for e in snap.entities], bool)
+            from ..replication.snapshot import RegistrySnapshot as _RS
+            self.world.state = apply_snapshot(
+                self.world.state,
+                _RS(entities=snap.entities[keep],
+                    pools={k: v[keep] for k, v in snap.pools.items()},
+                    timestamp=snap.timestamp),
+                self.entity_map)
+        elif isinstance(packet, pk.AssetResponse):
+            for aid, dd in packet.assets.items():
+                self.assets[int(aid)] = dd
+                for srv, pools in self._pending_assets.pop(int(aid), []):
+                    self._instantiate_asset(int(aid), srv, pools)
 
     def _handle_entered(self, packet: pk.EntityEntered):
         """Instantiate server entities locally (reference:
-        client_side.cpp entity_entered handler)."""
+        client_side.cpp entity_entered handler). Asset-backed entities spawn
+        from the local asset copy, requesting the asset first when unknown."""
         snap = packet.snapshot
-        from ..replication.snapshot import COMPONENT_COLUMNS
-        from ..core.spawn import spawn_rigidbody
+        want_assets = []
         for row, srv in enumerate(snap.entities):
             srv = int(srv)
             if self.entity_map.has_remote(srv):
                 continue
             pools = {k: v[row] for k, v in snap.pools.items()}
-            state, loc = _spawn_from_pools(self.world.state, pools)
-            self.world.state = state
-            self.entity_map.insert(srv, loc)
+            aid = packet.assets.get(srv)
+            if aid is None:
+                state, loc = _spawn_from_pools(self.world.state, pools)
+                self.world.state = state
+                self.entity_map.insert(srv, loc)
+            elif aid in self.assets:
+                self._instantiate_asset(aid, srv, pools)
+            else:
+                self._pending_assets.setdefault(aid, []).append((srv, pools))
+                if aid not in self._requested_assets:
+                    self._requested_assets.add(aid)
+                    want_assets.append(aid)
+        if want_assets:
+            self.send(pk.AssetRequest(ids=sorted(want_assets)))
+
+    def _instantiate_asset(self, asset_id: int, srv: int, pools: dict):
+        if self.entity_map.has_remote(srv):
+            return
+        d = _def_from_dict(self.assets[asset_id])
+        loc = self.world.spawn(dataclasses.replace(d, networked=True))
+        self.entity_map.insert(srv, loc)
+        # overlay the live component state shipped with entity_entered
+        from ..replication.snapshot import set_component
+        for name, val in pools.items():
+            self.world.state = set_component(self.world.state, name,
+                                             np.asarray([loc]), val[None])
 
     def _handle_snapshot(self, packet: pk.TransientSnapshot, now: float):
         """Apply a server state snapshot: extrapolate from packet time to the

@@ -33,9 +33,25 @@ class ClientDestroyedEntity(Packet):
 @dataclasses.dataclass
 class EntityEntered(Packet):
     """Server tells client about entities entering its AABB of interest,
-    with full component pools (reference: packet::entity_entered)."""
+    with full component pools (reference: packet::entity_entered). Entities
+    instantiated from a shared asset carry the asset id instead of creation
+    pools (reference: asset_ref sync-before-instantiate, Design.md:333-347)."""
     snapshot: Optional[RegistrySnapshot] = None
     owners: Dict[int, int] = dataclasses.field(default_factory=dict)
+    assets: Dict[int, int] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class AssetRequest(Packet):
+    """Client asks for asset definitions it doesn't have locally
+    (reference: packet::asset_request)."""
+    ids: List[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class AssetResponse(Packet):
+    """Asset id -> rigidbody def dict (reference: packet::asset_sync)."""
+    assets: Dict[int, dict] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -108,7 +124,7 @@ class InputSnapshot(Packet):
 
 RELIABLE_TYPES = (ClientCreatedEntity, ClientDestroyedEntity, EntityEntered,
                   EntityExited, UpdateEntityMap, GeneralSnapshot,
-                  ServerSettings, SetPlayoutDelay)
+                  ServerSettings, SetPlayoutDelay, AssetRequest, AssetResponse)
 
 
 def should_send_reliably(packet: Packet) -> bool:

@@ -26,6 +26,7 @@ from .interest import InterestState
 PLAYOUT_DELAY_MULTIPLIER = 1.2  # reference: server_side.cpp:513-541
 MAX_PLAYOUT_DELAY = 1.0
 SNAPSHOT_RATE = 20.0  # Hz
+RELIABLE_SNAPSHOT_RATE = 1.0  # Hz — reliable (general) component re-send
 
 
 @dataclasses.dataclass
@@ -44,6 +45,7 @@ class RemoteClient:
     input_history: InputHistory = dataclasses.field(
         default_factory=InputHistory)
     input_applied: set = dataclasses.field(default_factory=set)
+    last_reliable_time: float = -1e9
 
 
 class NetworkServer:
@@ -53,6 +55,28 @@ class NetworkServer:
         # jitter buffer: (due_time, seq, client_id, packet)
         self._timed: list = []
         self._seq = 0
+        # per-component replication policies (reference:
+        # server_snapshot_exporter; replication/exporter.py)
+        from ..replication.exporter import policy_from_world
+        self.policy = policy_from_world(world)
+        # asset registry: id -> def dict; entity -> asset id (reference:
+        # asset_ref / asset_entry, networking/comp/asset_ref.hpp:16)
+        self.assets: Dict[int, dict] = {}
+        self.entity_asset: Dict[int, int] = {}
+
+    # -- assets ----------------------------------------------------------
+    def register_asset(self, asset_id: int, def_: RigidBodyDef):
+        self.assets[asset_id] = def_to_dict(def_)
+
+    def spawn_asset(self, asset_id: int, **overrides) -> int:
+        """Instantiate a registered asset; clients that know the asset get
+        only the asset id + transient state (sync-before-instantiate,
+        Design.md:333-347)."""
+        d = _def_from_dict(self.assets[asset_id])
+        d = dataclasses.replace(d, networked=True, **overrides)
+        e = self.world.spawn(d)
+        self.entity_asset[e] = asset_id
+        return e
 
     # -- lifecycle ------------------------------------------------------
     def register_client(self, client_id: int, send: Callable,
@@ -98,6 +122,10 @@ class NetworkServer:
             # dedup-merge; replayed at playout time in update() (reference:
             # server_side.cpp:603-616 action dispatch)
             c.input_history.merge_remote(packet.records)
+        elif isinstance(packet, pk.AssetRequest):
+            known = {i: self.assets[i] for i in packet.ids if i in self.assets}
+            if known:
+                c.send(pk.AssetResponse(timestamp=now, assets=known))
 
     def _handle_create(self, c: RemoteClient, packet: pk.ClientCreatedEntity,
                        now: float):
@@ -157,29 +185,53 @@ class NetworkServer:
             if applied:
                 self.world.wake_set(c.owned)
 
-        # 2. per-client interest + snapshot export
+        # 2. per-client interest + snapshot export (component sets chosen by
+        # the per-component policy table — reference snapshot exporters)
+        transient_comps = tuple(self.policy.transient)
+        reliable_comps = tuple(self.policy.reliable)
+        creation_comps = tuple(self.policy.creation)
         for c in self.clients.values():
             entered, exited = c.interest.update(self.world.state)
             if entered:
-                ent = sorted(entered)
-                snap = extract_snapshot(self.world.state, ent,
-                                        CREATION_COMPONENTS, timestamp=now)
                 owners = {e: cid for cid, cl in self.clients.items()
                           for e in cl.owned if e in entered}
-                c.send(pk.EntityEntered(timestamp=now, snapshot=snap,
-                                        owners=owners))
+                plain = sorted(e for e in entered
+                               if e not in self.entity_asset)
+                asset_backed = sorted(e for e in entered
+                                      if e in self.entity_asset)
+                if plain:
+                    snap = extract_snapshot(self.world.state, plain,
+                                            creation_comps, timestamp=now)
+                    c.send(pk.EntityEntered(timestamp=now, snapshot=snap,
+                                            owners=owners))
+                if asset_backed:
+                    # asset entities ship only the asset id + live state;
+                    # the client instantiates from its asset copy
+                    snap = extract_snapshot(
+                        self.world.state, asset_backed,
+                        transient_comps + reliable_comps, timestamp=now)
+                    c.send(pk.EntityEntered(
+                        timestamp=now, snapshot=snap, owners=owners,
+                        assets={e: self.entity_asset[e]
+                                for e in asset_backed}))
             if exited:
                 c.send(pk.EntityExited(timestamp=now,
                                        entities=sorted(exited)))
             if now - c.last_snapshot_time >= 1.0 / c.snapshot_rate:
                 c.last_snapshot_time = now
-                ent = sorted(c.interest.current
-                             - {e for e in c.interest.current
-                                if not self._is_dynamic(e)})
+                ent = sorted(e for e in c.interest.current
+                             if self._is_dynamic(e))
                 if ent:
                     snap = extract_snapshot(self.world.state, ent,
-                                            TRANSIENT_COMPONENTS, timestamp=now)
+                                            transient_comps, timestamp=now)
                     c.send(pk.TransientSnapshot(timestamp=now, snapshot=snap))
+            if now - c.last_reliable_time >= 1.0 / RELIABLE_SNAPSHOT_RATE:
+                c.last_reliable_time = now
+                ent = sorted(c.interest.current)
+                if ent and reliable_comps:
+                    snap = extract_snapshot(self.world.state, ent,
+                                            reliable_comps, timestamp=now)
+                    c.send(pk.GeneralSnapshot(timestamp=now, snapshot=snap))
 
     def _is_dynamic(self, e: int) -> bool:
         return bool(np.asarray(self.world.state.kind)[e] == 0)
@@ -208,7 +260,9 @@ def def_to_dict(d: RigidBodyDef) -> dict:
     out["material"] = dataclasses.asdict(d.material) if d.material else None
     for k in ("position", "orientation", "linvel", "angvel"):
         out[k] = list(np.asarray(out[k], np.float64))
+    if out.get("center_of_mass") is not None:
+        out["center_of_mass"] = list(np.asarray(out["center_of_mass"],
+                                                np.float64))
     out.pop("inertia", None)
-    out.pop("center_of_mass", None)
     out.pop("gravity", None)
     return out

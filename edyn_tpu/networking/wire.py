@@ -295,6 +295,8 @@ _PACKET_TYPES = [
     pk.SetPlayoutDelay,        # 10
     pk.ActionPacket,           # 11
     pk.InputSnapshot,          # 12
+    pk.AssetRequest,           # 13
+    pk.AssetResponse,          # 14
 ]
 _TYPE_ID = {t: i for i, t in enumerate(_PACKET_TYPES)}
 
@@ -317,6 +319,14 @@ def encode_packet(p: pk.Packet) -> bytes:
         items = sorted(p.owners.items())
         _w_entities(out, np.asarray([e for e, _ in items], np.int32))
         _w_entities(out, np.asarray([o for _, o in items], np.int32))
+        aitems = sorted(p.assets.items())
+        _w_entities(out, np.asarray([e for e, _ in aitems], np.int32))
+        _w_entities(out, np.asarray([a for _, a in aitems], np.int32))
+    elif isinstance(p, pk.AssetRequest):
+        _w_entities(out, np.asarray(p.ids, np.int32))
+    elif isinstance(p, pk.AssetResponse):
+        _w_entities(out, np.asarray(sorted(p.assets), np.int32))
+        _w_json(out, [p.assets[k] for k in sorted(p.assets)])
     elif isinstance(p, pk.UpdateEntityMap):
         _w_entities(out, np.asarray([a for a, _ in p.pairs], np.int32))
         _w_entities(out, np.asarray([b for _, b in p.pairs], np.int32))
@@ -368,9 +378,21 @@ def decode_packet(data: bytes) -> pk.Packet:
         snap, pos = _r_snapshot(buf, pos)
         ents, pos = _r_entities(buf, pos)
         owners, pos = _r_entities(buf, pos)
+        aents, pos = _r_entities(buf, pos)
+        aids, pos = _r_entities(buf, pos)
         return pk.EntityEntered(timestamp=ts, snapshot=snap,
                                 owners=dict(zip(ents.tolist(),
-                                                owners.tolist())))
+                                                owners.tolist())),
+                                assets=dict(zip(aents.tolist(),
+                                                aids.tolist())))
+    if cls is pk.AssetRequest:
+        ids, pos = _r_entities(buf, pos)
+        return pk.AssetRequest(timestamp=ts, ids=ids.tolist())
+    if cls is pk.AssetResponse:
+        ids, pos = _r_entities(buf, pos)
+        defs, pos = _r_json(buf, pos)
+        return pk.AssetResponse(timestamp=ts,
+                                assets=dict(zip(ids.tolist(), defs)))
     if cls is pk.UpdateEntityMap:
         a, pos = _r_entities(buf, pos)
         b, pos = _r_entities(buf, pos)

@@ -24,6 +24,7 @@ COMPONENT_COLUMNS = {
     "angvel": "angvel",
     "mass_inv": "mass_inv",
     "inertia_inv": "inertia_inv",
+    "center_of_mass": "com",
     "restitution": "restitution",
     "friction": "friction",
     "spin_friction": "spin_friction",
