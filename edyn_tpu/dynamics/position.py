@@ -44,18 +44,31 @@ def solve_positions(state, rows, num_iterations: int):
 
     from .solver import gather_ab, scatter_add_ab
 
-    def body(_, dpq):
+    # convergence exit matching the reference (island_solver.cpp:350-353:
+    # stop when max error < 0.005) — settled scenes run ONE iteration's
+    # worth of dispatches instead of all three
+    ERROR_EXIT = 0.005
+
+    def cond(carry):
+        it, dpq, go = carry
+        return (it < num_iterations) & go
+
+    def body(carry):
+        it, dpq, _ = carry
         dpa, daa, dpb, dab_ = gather_ab(dpq, rows.ab)
         corr_rel = (dpa + vec.cross(daa, rA) - dpb - vec.cross(dab_, rB))
         dist = base_dist + vec.dot(corr_rel, n)
         error = jnp.clip(-dist, 0.0, MAX_CORRECTION)
-        lam = jnp.where(valid, error * CONTACT_POSITION_CORRECTION_RATE * em,
-                        0.0)[:, None]
-        return scatter_add_ab(dpq, rows.ab, inv_mA[:, None] * n * lam,
-                              tA * lam, inv_mB[:, None] * -n * lam, tB * lam)
+        error = jnp.where(valid, error, 0.0)
+        go = jnp.max(error) >= ERROR_EXIT
+        lam = (error * CONTACT_POSITION_CORRECTION_RATE * em)[:, None]
+        dpq = scatter_add_ab(dpq, rows.ab, inv_mA[:, None] * n * lam,
+                             tA * lam, inv_mB[:, None] * -n * lam, tB * lam)
+        return it + 1, dpq, go
 
     N = state.pos.shape[0]
-    dpq = jax.lax.fori_loop(0, num_iterations, body, jnp.zeros((N, 6)))
+    _, dpq, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((N, 6)), jnp.bool_(True)))
     dpos, dang = dpq[:, 0:3], dpq[:, 3:6]
     # bound the per-step correction — beyond this the linearization is
     # invalid and applying it adds energy

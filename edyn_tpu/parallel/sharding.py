@@ -42,7 +42,11 @@ def state_shardings(mesh: Mesh, state):
 
 def make_sharded_step(mesh: Mesh, state, settings, meta):
     """Returns (step_fn, device_state): step_fn(state) -> state runs the full
-    physics step sharded over the mesh."""
+    physics step sharded over the mesh. Row-space intermediates are pinned to
+    the body axis via meta.shard_mesh (see stepper._shard_rows) so GSPMD
+    emits body-space collectives instead of row-space all-reduces."""
+    import dataclasses
+    meta = dataclasses.replace(meta, shard_mesh=(mesh, BODY_AXIS))
     sh = state_shardings(mesh, state)
     step = jax.jit(
         functools.partial(physics_step_impl, settings=settings, meta=meta),

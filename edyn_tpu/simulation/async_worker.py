@@ -73,6 +73,19 @@ class AsyncSimulation:
         """reference: refresh_settings re-broadcast to the worker."""
         self.enqueue(lambda w: w.set_settings(**kw))
 
+    def raycast_async(self, p0, p1, callback: Callable):
+        """Async raycast: runs against the worker's state between steps and
+        delivers the result via ``callback(result_dict)`` on the worker
+        thread (reference: stepper_async::raycast -> msg::raycast_request ->
+        worker raycast_service -> delegate, stepper_async.cpp:352-363,
+        raycast_service.cpp:118)."""
+        self.enqueue(lambda w: callback(w.raycast(p0, p1)))
+
+    def query_aabb_async(self, lo, hi, callback: Callable, **kw):
+        """Async AABB region query (reference: collision/query_aabb.hpp
+        async API)."""
+        self.enqueue(lambda w: callback(w.query_aabb(lo, hi, **kw)))
+
     # -- worker loop (reference: simulation_worker::run, PID-paced) -----
     def _run(self):
         dt = self.world.settings.fixed_dt

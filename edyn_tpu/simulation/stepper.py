@@ -70,6 +70,30 @@ class SceneMeta:
     # settings.should_collide_func, context/settings.hpp:43). Must be a
     # jittable pure function; identity-hashed as a static arg.
     should_collide_fn: object = None
+    # multi-chip: (mesh, axis_name) to pin ROW-space intermediates (contact
+    # rows, impulse carries) to a leading-axis sharding. Without this GSPMD
+    # replicates them and all-reduces row-sized arrays every iteration
+    # (measured: 5x [R,6] all-reduces per step at 8 devices); with it the
+    # collectives shrink to body-space [N,6] sums. Set by make_sharded_step.
+    shard_mesh: object = None
+
+
+def _shard_rows(tree, meta):
+    """Constrain every [R,...]-leading leaf to the mesh's body axis (no-op
+    without a shard_mesh)."""
+    if meta.shard_mesh is None:
+        return tree
+    mesh, axis = meta.shard_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def c(leaf):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] >= mesh.size \
+                and leaf.shape[0] % mesh.size == 0:
+            return jax.lax.with_sharding_constraint(
+                leaf, NamedSharding(mesh, P(axis)))
+        return leaf
+
+    return jax.tree.map(c, tree)
 
 
 def apply_gravity(state, dt: float):
@@ -134,6 +158,7 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     rows = solver_mod.build_contact_rows(state, man, dt, use_rest,
                                          settings.mass_splitting,
                                          meta.has_spin_roll, meta.max_rows)
+    rows = _shard_rows(rows, meta)
 
     # --- restitution pre-pass (before gravity; reference solver.cpp:387-400) ---
     if use_rest:
@@ -164,7 +189,7 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     imp_packed = jnp.concatenate([
         man.normal_impulse[..., None], man.friction_impulse,
         man.spin_impulse[..., None], man.roll_impulse], axis=-1)
-    imp6 = imp_packed.reshape(M * P, 6)[slot]
+    imp6 = _shard_rows(imp_packed.reshape(M * P, 6)[slot], meta)
     dvw = solver_mod.warm_start_contacts(rows, imp6, dvw)
     j_imp = state.joints.impulses
     if meta.has_joints:
@@ -173,6 +198,7 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     def iteration(_, carry):
         imp6, j_i, dvw = carry
         imp6, dvw = solver_mod.solve_contacts_once(rows, imp6, dvw)
+        imp6 = _shard_rows(imp6, meta)
         if meta.has_joints:
             j_i, dvw = joints_mod.solve_joints_once(jrows, j_i, dvw)
         return imp6, j_i, dvw

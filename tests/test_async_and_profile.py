@@ -80,3 +80,23 @@ def test_profile_step_runs():
     for phase in ("broadphase", "narrowphase", "islands", "solve",
                   "position_correction", "full_step"):
         assert phase in timers and timers[phase] >= 0.0
+
+
+def test_async_raycast_and_query():
+    """Async raycast/query delivered via callback on the worker thread
+    (reference: raycast_service batching, stepper_async.cpp:352-363)."""
+    b, box = hello_world()
+    w = et.make_world(b)
+    w.step(1)
+    sim = AsyncSimulation(w).start()
+    results = []
+    try:
+        sim.raycast_async((0.0, 5.0, 0.0), (0.0, -1.0, 0.0), results.append)
+        sim.query_aabb_async((-1, -1, -1), (1, 10, 1), results.append)
+        deadline = time.time() + 30.0
+        while len(results) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert len(results) == 2
+        assert results[0]["entity"] >= 0  # ray hits plane or box
+    finally:
+        sim.stop()
