@@ -218,52 +218,47 @@ def find_pairs(state, max_pairs: int, block: int = 256,
     idx = jnp.arange(N)
 
     if N <= DENSE_LIMIT:
-        # one-shot dense path: a single fused mask, then GATHER-based
-        # compaction — a flat scatter/cumsum over the N^2 mask would process
-        # 1e8 scatter updates (the dominant cost at 10k bodies); instead we
-        # take row counts + a per-row running count and binary-search each of
-        # the max_pairs output slots to its (row, column) with ~14 cheap
-        # gather rounds.
-        m = _pair_filters(state, idx, idx)
+        # one-shot dense path: a single fused mask, then CHUNKED gather-based
+        # compaction. The mask is cut into 128-column chunks; a per-chunk
+        # popcount + one 1-D cumsum over the ~N^2/128 chunk counts replaces a
+        # full [N,N] prefix sum (XLA lowers a row cumsum to ~log2(N)
+        # reduce-window passes over the whole [N,N] array — measured as the
+        # dominant broadphase cost at 10k bodies). Each output slot k-ary
+        # searches its chunk in the small offset array, then decodes its lane
+        # with one gathered 128-bit chunk row and an MXU prefix matmul.
+        CH = 128
+        Bc = -(-N // CH)
+        Np = Bc * CH
+        idx_c = jnp.minimum(jnp.arange(Np), N - 1)
+        m = _pair_filters(state, idx, idx_c)
+        m &= (jnp.arange(Np) < N)[None, :]
         if should_collide_fn is not None:
-            m &= should_collide_fn(state, idx[:, None], idx[None, :])
-        m &= _overlap(state, idx, idx)
+            m &= should_collide_fn(state, idx[:, None], idx_c[None, :])
+        m &= _overlap_elt(state, idx[:, None], idx_c[None, :])
 
-        # int16 halves the [N,N] cumsum's memory traffic (row counts < 32k
-        # by construction while N < 32k; the dense path is capped well below)
-        cum_dtype = jnp.int16 if N < 32_000 else jnp.int32
-        row_cum = jnp.cumsum(m.astype(cum_dtype), axis=1)     # [N,N] inclusive
-        row_counts = row_cum[:, -1].astype(jnp.int32)         # [N]
+        chunks = m.reshape(N * Bc, CH)
+        ccnt = jnp.sum(chunks, axis=1, dtype=jnp.int32)        # [N*Bc]
         offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                   jnp.cumsum(row_counts)])   # [N+1]
+                                   jnp.cumsum(ccnt)])          # [N*Bc+1]
         total = offsets[-1]
 
         from ..ops.search import kary_searchsorted
         k = jnp.arange(max_pairs, dtype=jnp.int32)
         in_range = k < total
-        i_row = kary_searchsorted(offsets, k, side="right") - 1
-        i_row = jnp.clip(i_row, 0, N - 1)
-        rank = k - offsets[i_row] + 1                          # 1-based in row
+        chunk = kary_searchsorted(offsets, k, side="right") - 1
+        chunk = jnp.clip(chunk, 0, N * Bc - 1)
+        rank = k - offsets[chunk]                              # 0-based in chunk
 
-        # k-ary search the first column with row_cum[i, j] >= rank (one
-        # [max_pairs, K-1] gather per round instead of one per binary probe)
-        KARY = 8
-        offs = jnp.arange(1, KARY, dtype=jnp.int32)
-        lo = jnp.zeros_like(k)
-        width = N
-        while width >= 1:
-            step = -(-width // KARY)
-            t = lo[:, None] + offs * jnp.int32(step) - 1
-            ok = t < N
-            vals = row_cum[i_row[:, None], jnp.minimum(t, N - 1)]
-            cnt = jnp.sum((vals < rank[:, None]) & ok, axis=-1).astype(jnp.int32)
-            lo = lo + cnt * step
-            if width == 1:
-                break
-            width = step
-        j_col = jnp.clip(lo, 0, N - 1)
+        crow = chunks[chunk]                                    # [P,CH] bool
+        # exclusive prefix within the chunk via one MXU matmul
+        st_mat = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :])
+        prefix = crow.astype(jnp.float32) @ st_mat.astype(jnp.float32)
+        lane_hit = crow & (prefix.astype(jnp.int32) == rank[:, None])
+        j_in = jnp.argmax(lane_hit, axis=1).astype(jnp.int32)
 
-        keys = jnp.where(in_range, i_row * N + j_col,
+        i_row = chunk // Bc
+        j_col = (chunk % Bc) * CH + j_in
+        keys = jnp.where(in_range, i_row * N + jnp.minimum(j_col, N - 1),
                          INVALID_KEY).astype(jnp.int32)
         dropped = jnp.maximum(total - max_pairs, 0)
     else:

@@ -24,6 +24,7 @@ warm-start continuity (manifold.merge_points).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..math import quat
@@ -174,11 +175,15 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         # counts; plane/boxbox are sized down so their kernels don't run at
         # full manifold width (measured 7x oversized on the 10k pile)
         if bucket == B_UNIFIED:
-            this_cap = cap
+            # full manifold capacity (a settled dense pile makes nearly every
+            # pair convex-convex), processed in two chunks — the second only
+            # EXECUTES (lax.cond) when the live count spills past the first,
+            # so early/sparse phases pay half the kernel width
+            this_cap = min(2 * cap, M)
         elif bucket == B_PLANE:
-            this_cap = max(256, cap // 2)
+            this_cap = max(512, cap // 4)
         else:
-            this_cap = max(256, cap // 4)
+            this_cap = max(512, cap // 4)
         sel, sel_ok, bucket_dropped = _compact_sel(want, this_cap, M)
         dropped = dropped + bucket_dropped
         sel_c = jnp.minimum(sel, M - 1)
@@ -198,9 +203,23 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
             Kp = -(-this_cap // BLK) * BLK
             ka_p = jnp.pad(ka, (0, Kp - this_cap))
             kb_p = jnp.pad(kb, (0, Kp - this_cap))
-            blk_out = collide_support_pallas(
-                packed_t[:, ka_p], packed_t[:, kb_p], dims_t,
-                float(threshold), rim_axes=has_cyl)[:this_cap]
+            H = max(BLK, (Kp // 2 // BLK) * BLK)
+
+            def run_chunk(ka_c, kb_c):
+                return collide_support_pallas(
+                    packed_t[:, ka_c], packed_t[:, kb_c], dims_t,
+                    float(threshold), rim_axes=has_cyl)
+
+            if Kp > H:
+                n_live = jnp.sum(want)
+                out0 = run_chunk(ka_p[:H], kb_p[:H])
+                out1 = jax.lax.cond(
+                    n_live > H,
+                    lambda: run_chunk(ka_p[H:], kb_p[H:]),
+                    lambda: jnp.zeros((Kp - H, 4, 12)))
+                blk_out = jnp.concatenate([out0, out1])[:this_cap]
+            else:
+                blk_out = run_chunk(ka_p, kb_p)[:this_cap]
             pv = (blk_out[..., 11] > 0.5) & sel_ok[:, None]
             blk = jnp.concatenate([
                 blk_out[..., :11],

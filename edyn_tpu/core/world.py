@@ -33,7 +33,10 @@ def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
         max_pairs = max(256, min(14 * n, 1 << 18))
     max_pairs = min(max_pairs, state.contacts.key.shape[0])
     kw.setdefault("bucket_cap", max(512, max_pairs // 2))
-    kw.setdefault("max_rows", 2 * max_pairs)
+    # live contact points run ~1-2 per valid pair in practice (4 is the
+    # padded max); 1.5x pairs is generous and the contact_rows overflow
+    # counter flags any scene that needs more
+    kw.setdefault("max_rows", (3 * max_pairs) // 2)
     has_sr = bool((np.asarray(state.spin_friction)[valid] > 0).any()
                   or (np.asarray(state.roll_friction)[valid] > 0).any()
                   or (np.asarray(state.mix_table.vals)[:, 2:4] > 0).any())
