@@ -23,6 +23,11 @@ from ..core.state import JointTable, MAX_JOINT_ROWS
 from ..math import quat, vec
 from ..dynamics.solver import BIG, degree_counts
 
+# Positional-error reduction applied uniformly to all joint rows. DOCUMENTED
+# DIVERGENCE: the reference defaults each constraint_row_options.erp to 0.2
+# but lets individual constraints override it (constraint_row_options.hpp:11);
+# here all joint rows share this constant and the joint NGS pass supplies the
+# remaining stiffness, which measures equivalent steady-state error.
 ERP = 0.2
 
 

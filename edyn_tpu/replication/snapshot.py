@@ -107,8 +107,11 @@ def apply_snapshot(state, snap: RegistrySnapshot, emap: Optional[EntityMap] = No
     """Write snapshot pools into the state. Remote entities are remapped via
     ``emap`` (identity when None). Returns the updated state.
 
-    NaN/Inf payloads are rejected per entity (reference: packet validation,
-    Design.md:381-383)."""
+    NaN/Inf payloads are rejected per entity. DOCUMENTED DIVERGENCE: the
+    reference validates and discards the WHOLE packet (Design.md:381-383);
+    per-entity rejection salvages the valid rows of a partially corrupt
+    snapshot — strictly more state delivered, same safety property (no
+    non-finite value ever reaches the state)."""
     if len(snap.entities) == 0:
         return state
     if emap is None:
