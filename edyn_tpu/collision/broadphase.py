@@ -245,7 +245,7 @@ def find_pairs(state, max_pairs: int, block: int = 256,
         from ..ops.search import kary_searchsorted
         k = jnp.arange(max_pairs, dtype=jnp.int32)
         in_range = k < total
-        chunk = kary_searchsorted(offsets, k, side="right") - 1
+        chunk = kary_searchsorted(offsets, k, side="right", k=16) - 1
         chunk = jnp.clip(chunk, 0, N * Bc - 1)
         rank = k - offsets[chunk]                              # 0-based in chunk
 

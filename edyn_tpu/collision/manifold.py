@@ -39,7 +39,7 @@ def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid) -> ContactTa
     so the carry costs ONE large gather. Every default is zero, so the
     unmatched case is a multiply by the match mask."""
     from ..ops.search import kary_searchsorted
-    idx = kary_searchsorted(old.key, keys, side="left")
+    idx = kary_searchsorted(old.key, keys, side="left", k=16)
     idx = jnp.clip(idx, 0, old.key.shape[0] - 1)
     matched = (old.key[idx] == keys) & pair_valid & old.valid[idx]
 
