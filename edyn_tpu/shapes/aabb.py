@@ -39,6 +39,16 @@ def compute_aabbs(shape_type, shape_params, pos, orn, poly_table=None,
     radius = cx.radius[:N]
     amin = jnp.min(jnp.where(vmask, vw, BIG), axis=-2) - radius[..., None]
     amax = jnp.max(jnp.where(vmask, vw, -BIG), axis=-2) + radius[..., None]
+    # cylinder cap discs: a disc of radius disc_r with world axis w extends
+    # disc_r*sqrt(1-w_k^2) along coordinate axis k (omitting this gave
+    # cylinders hairline AABBs — masked by the plane's world-sized slab until
+    # halfspace pairing made the cylinder's own AABB authoritative)
+    disc_r = cx.disc_r[:N]
+    w_ax = quat.rotate(orn, cx.disc_axis[:N])
+    disc_ext = disc_r[..., None] * jnp.sqrt(
+        jnp.clip(1.0 - w_ax * w_ax, 0.0, 1.0))
+    amin = amin - disc_ext
+    amax = amax + disc_ext
     # bodies with no cloud (NONE): point at pos
     has_cloud = jnp.any(cx.vert_mask[:N], axis=-1)[..., None]
     amin = jnp.where(has_cloud, amin, pos)
