@@ -26,8 +26,19 @@ import numpy as np
 from ..shapes.params import ShapeType
 from ..core.state import KIND_DYNAMIC
 
-INVALID_KEY = jnp.iinfo(jnp.int32).max
+# Pair keys are uint32 (a * N + b, a < b). uint32 covers N <= 65536 without
+# collision with INVALID_KEY (max real key at N=65536 is 65534*65536+65535
+# < 2^32-1); int32 overflowed at N > 46340. int64 is not an option under
+# JAX's default x64-disabled config (it silently truncates).
+INVALID_KEY = jnp.uint32(jnp.iinfo(jnp.uint32).max)
+MAX_BODIES_FOR_KEYS = 65536
 DENSE_LIMIT = 12_000  # N above which the blocked path kicks in
+
+
+def _pack_keys(a, b, N, ok):
+    """uint32 pair key a*N+b where ok, else INVALID_KEY."""
+    k = a.astype(jnp.uint32) * jnp.uint32(N) + b.astype(jnp.uint32)
+    return jnp.where(ok, k, INVALID_KEY)
 
 
 def _compact(flat_mask, size: int):
@@ -75,10 +86,15 @@ def _overlap_elt(state, i, j):
     # narrowphase rejects by distance; here the reject moves into broadphase
     # so far-away bodies never occupy manifold slots).
     def plane_clip(o, p, other):
+        from ..math import quat
         is_p = state.shape_type[p] == ShapeType.PLANE
         prm = state.shape_params[p]
-        n = prm[..., 0:3]
-        c = prm[..., 3]
+        # world-space halfspace, matching the narrowphase
+        # (kernels/plane_unified.py:27-28): n_w = R * n_obj,
+        # c_w = c_obj + n_w . origin_pos
+        n = quat.rotate(state.orn[p], prm[..., 0:3])
+        opos = state.pos[p] - quat.rotate(state.orn[p], state.com[p])
+        c = prm[..., 3] + jnp.sum(n * opos, -1)
         lo = jnp.sum(jnp.minimum(amin[other] * n, amax[other] * n), -1)
         return o & (~is_p | (lo <= c + PLANE_PAIR_MARGIN))
 
@@ -119,6 +135,8 @@ def find_pairs_sweep(state, max_pairs: int, window: int = 128,
     the dense path; `dropped` also counts conservative beyond-window alarms.
     """
     N = state.capacity
+    assert N <= MAX_BODIES_FOR_KEYS, \
+        f"pair keys are uint32: capacity {N} > {MAX_BODIES_FOR_KEYS}"
     W = min(window, max(N - 1, 1))
     idx = jnp.arange(N)
     amin, amax = state.aabb_min, state.aabb_max
@@ -193,12 +211,11 @@ def find_pairs_sweep(state, max_pairs: int, window: int = 128,
     b_ = jnp.where(is_n, b_n, b_w)
     lo_ab = jnp.minimum(a_, b_)
     hi_ab = jnp.maximum(a_, b_)
-    keys = jnp.where(ok, lo_ab * N + hi_ab, INVALID_KEY).astype(jnp.int32)
-    keys = jnp.sort(keys)
+    keys = jnp.sort(_pack_keys(lo_ab, hi_ab, N, ok))
 
     valid_k = keys != INVALID_KEY
-    body_a = jnp.where(valid_k, keys // N, 0)
-    body_b = jnp.where(valid_k, keys % N, 0)
+    body_a = jnp.where(valid_k, keys // N, 0).astype(jnp.int32)
+    body_b = jnp.where(valid_k, keys % N, 0).astype(jnp.int32)
     ex_a = state.exclusions[body_a]
     excluded = jnp.any(ex_a == body_b[:, None], axis=-1)
     valid_k &= ~excluded
@@ -215,6 +232,8 @@ def find_pairs(state, max_pairs: int, block: int = 256,
 
     keys = a * N + b with a < b; INVALID_KEY marks padding."""
     N = state.capacity
+    assert N <= MAX_BODIES_FOR_KEYS, \
+        f"pair keys are uint32: capacity {N} > {MAX_BODIES_FOR_KEYS}"
     idx = jnp.arange(N)
 
     if N <= DENSE_LIMIT:
@@ -258,8 +277,7 @@ def find_pairs(state, max_pairs: int, block: int = 256,
 
         i_row = chunk // Bc
         j_col = (chunk % Bc) * CH + j_in
-        keys = jnp.where(in_range, i_row * N + jnp.minimum(j_col, N - 1),
-                         INVALID_KEY).astype(jnp.int32)
+        keys = _pack_keys(i_row, jnp.minimum(j_col, N - 1), N, in_range)
         dropped = jnp.maximum(total - max_pairs, 0)
     else:
         n_blocks = -(-N // block)
@@ -277,7 +295,7 @@ def find_pairs(state, max_pairs: int, block: int = 256,
             loc, count = _compact(flat, kb)
             ii = i_c[loc // N]
             jj = loc % N
-            k = jnp.where(loc >= 0, ii * N + jj, INVALID_KEY).astype(jnp.int32)
+            k = _pack_keys(ii, jj, N, loc >= 0)
             return k, jnp.maximum(count - kb, 0)
 
         starts = jnp.arange(n_blocks) * block
@@ -288,8 +306,8 @@ def find_pairs(state, max_pairs: int, block: int = 256,
         dropped = jnp.sum(dropped_blocks) + jnp.maximum(total - max_pairs, 0)
 
     valid = keys != INVALID_KEY
-    body_a = jnp.where(valid, keys // N, 0)
-    body_b = jnp.where(valid, keys % N, 0)
+    body_a = jnp.where(valid, keys // N, 0).astype(jnp.int32)
+    body_b = jnp.where(valid, keys % N, 0).astype(jnp.int32)
     # exclusion lists (reference comp/collision_exclusion.hpp), post-compaction:
     # max_pairs x 16 compares instead of N^2 x 16
     ex_a = state.exclusions[body_a]               # [P,E]

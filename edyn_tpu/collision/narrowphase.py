@@ -138,7 +138,11 @@ def _use_pallas(mode):
         return bool(mode)
     import jax
     try:
-        return jax.default_backend() not in ("cpu",)
+        # positive check: only TPU-family backends can lower the pltpu
+        # kernel (a CUDA/ROCm backend must fall back to the jnp path)
+        backend = jax.default_backend()
+        return backend == "tpu" or backend.startswith("tpu") \
+            or backend == "axon"
     except Exception:
         return False
 

@@ -668,8 +668,10 @@ def solve_joint_positions(state, num_iterations: int = 3,
         qa = quat.mul(orn_ab[:Jn], jt.frame_a)
         Ma = quat.to_matrix(qa)
         pos_ab = pos[ab]
-        rA = quat.rotate(orn_ab[:Jn], jt.pivot_a)
-        rB = quat.rotate(orn_ab[Jn:], jt.pivot_b)
+        # arms about the COM, matching build_joint_rows and the pivot-join
+        # pass above: r = R * (pivot - com)
+        rA = quat.rotate(orn_ab[:Jn], jt.pivot_a - state.com[a])
+        rB = quat.rotate(orn_ab[Jn:], jt.pivot_b - state.com[b])
         off = (pos_ab[Jn:] + rB) - (pos_ab[:Jn] + rA)
         for d_ in range(3):
             base = d_ * 10

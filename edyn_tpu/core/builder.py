@@ -185,6 +185,7 @@ class WorldBuilder:
         sparams = np.zeros((N, 4), f)
         sindex = np.zeros((N,), np.int32)
         com = np.zeros((N, 3), f)
+        roll_axis = np.zeros((N, 3), f)
 
         def _qrot(q, v):
             qv = q[:3]
@@ -234,6 +235,8 @@ class WorldBuilder:
                 st, prm = sh.pack()
                 stype[i] = st
                 sparams[i] = prm
+            from ..shapes.params import shape_roll_direction
+            roll_axis[i] = shape_roll_direction(int(stype[i]), sparams[i])
 
             if d.kind == KIND_DYNAMIC:
                 assert d.mass > 0 and np.isfinite(d.mass), \
@@ -372,6 +375,7 @@ class WorldBuilder:
             exclusions=jnp.asarray(excl),
             shape_type=jnp.asarray(stype), shape_params=jnp.asarray(sparams),
             shape_index=jnp.asarray(sindex),
+            roll_axis=jnp.asarray(roll_axis),
         )
         if self.joints:
             from ..constraints.joints import pack_joints

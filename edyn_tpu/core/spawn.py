@@ -14,7 +14,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..shapes.params import PolyhedronShape, ShapeType
+from ..shapes.params import PolyhedronShape, ShapeType, shape_roll_direction
 from ..shapes.inertia import moment_of_inertia, polyhedron_inertia
 from .builder import RigidBodyDef
 from .state import KIND_DYNAMIC, WorldState
@@ -117,6 +117,8 @@ def spawn_rigidbody(state: WorldState, d: RigidBodyDef, slot: int | None = None,
         shape_type=set_("shape_type", int(stype)),
         shape_params=set_("shape_params", jnp.asarray(sparams, jnp.float32)),
         shape_index=set_("shape_index", sindex),
+        roll_axis=set_("roll_axis", jnp.asarray(
+            shape_roll_direction(int(stype), sparams), jnp.float32)),
         sleeping_disabled=set_("sleeping_disabled", d.sleeping_disabled),
         networked=set_("networked", d.networked),
         asleep=set_("asleep", False),
@@ -183,6 +185,7 @@ def destroy_rigidbody(state: WorldState, i: int) -> WorldState:
         valid=state.valid.at[i].set(False),
         com=state.com.at[i].set(0.0),
         shape_type=state.shape_type.at[i].set(int(ShapeType.NONE)),
+        roll_axis=state.roll_axis.at[i].set(0.0),
         linvel=state.linvel.at[i].set(0.0),
         angvel=state.angvel.at[i].set(0.0),
         mass_inv=state.mass_inv.at[i].set(0.0),

@@ -42,7 +42,7 @@ class ContactTable:
     pair key ``a * N + b`` used for sort/searchsorted persistence matching
     (replaces contact_manifold_map, include/edyn/collision/contact_manifold_map.hpp).
     """
-    key: jnp.ndarray            # [M] int32, -1 when invalid (sorted ascending, invalid last)
+    key: jnp.ndarray            # [M] uint32, INVALID_KEY when invalid (sorted ascending, invalid last)
     body_a: jnp.ndarray         # [M] int32
     body_b: jnp.ndarray         # [M] int32
     valid: jnp.ndarray          # [M] bool
@@ -65,7 +65,7 @@ class ContactTable:
     @staticmethod
     def zeros(M: int) -> "ContactTable":
         return ContactTable(
-            key=jnp.full((M,), jnp.iinfo(jnp.int32).max, jnp.int32),
+            key=jnp.full((M,), jnp.iinfo(jnp.uint32).max, jnp.uint32),
             body_a=jnp.zeros((M,), jnp.int32),
             body_b=jnp.zeros((M,), jnp.int32),
             valid=jnp.zeros((M,), bool),
@@ -205,6 +205,13 @@ class WorldState:
     # derived
     aabb_min: jnp.ndarray     # [N,3]
     aabb_max: jnp.ndarray     # [N,3]
+    # designated rolling axis in object space (zero = roll isotropically).
+    # Set from the shape at spawn/set_shape (cylinders/capsules roll about
+    # their disc axis; reference: comp/roll_direction.hpp,
+    # util/rigidbody.cpp:119-127 shape_rolling_direction); rolling-friction
+    # row axes are scaled by their projection onto this axis so off-axis
+    # "rolling" is not damped (contact_extras_constraint.cpp:44-56)
+    roll_axis: jnp.ndarray    # [N,3]
     # islands & sleeping (mask-based; SURVEY §5.7)
     island_id: jnp.ndarray    # [N] int32
     sleep_timer: jnp.ndarray  # [N]
@@ -288,6 +295,7 @@ class WorldState:
             shape_index=jnp.zeros((N,), jnp.int32),
             aabb_min=jnp.zeros((N, 3)),
             aabb_max=jnp.zeros((N, 3)),
+            roll_axis=jnp.zeros((N, 3)),
             island_id=jnp.full((N,), -1, jnp.int32),
             sleep_timer=jnp.zeros((N,)),
             asleep=jnp.zeros((N,), bool),

@@ -132,6 +132,16 @@ class World:
             sleep_timer=st.sleep_timer.at[i].set(0.0))
         return self
 
+    def set_roll_direction(self, i, direction):
+        """Override the designated object-space rolling axis (reference:
+        comp/roll_direction.hpp — auto-assigned from the shape at spawn;
+        zero vector = roll isotropically)."""
+        self.state = dataclasses.replace(
+            self.state,
+            roll_axis=self.state.roll_axis.at[i].set(
+                jnp.asarray(direction, jnp.float32)))
+        return self
+
     # -- mutators (reference: util/rigidbody.cpp apply impulses etc.) ---
     def apply_impulse(self, i, impulse, rel_location=(0.0, 0.0, 0.0)):
         """reference: rigidbody_apply_impulse (src/edyn/util/rigidbody.cpp)."""
@@ -233,10 +243,15 @@ class World:
         from ..shapes.inertia import moment_of_inertia
         st = self.state
         stype, params = shape.pack()
+        from ..shapes.params import shape_roll_direction
         updates = {
             "shape_type": st.shape_type.at[i].set(int(stype)),
             "shape_params": st.shape_params.at[i].set(
                 jnp.asarray(params, jnp.float32)),
+            # reference keeps roll_direction in sync with the shape
+            # (rigidbody_set_shape, rigidbody.cpp:450-466)
+            "roll_axis": st.roll_axis.at[i].set(jnp.asarray(
+                shape_roll_direction(int(stype), params), jnp.float32)),
         }
         minv = float(st.mass_inv[i])
         if minv > 0:
@@ -314,10 +329,14 @@ class World:
         return self
 
     def wake_up(self, i):
-        """reference: wake_up_island."""
+        """Wake the body's whole island (reference: wake_up_island).
+
+        Membership comes from an exact host-side union-find over the live
+        contact/joint edges, NOT the on-device labels — those fragment for
+        1-2 steps after each RESET_PERIOD re-seed (dynamics/islands.py)."""
+        from ..dynamics.islands import exact_island_mask
         st = self.state
-        island = st.island_id[i]
-        members = st.island_id == island
+        members = exact_island_mask(st, [int(i)])
         self.state = dataclasses.replace(
             st,
             asleep=jnp.where(members, False, st.asleep),

@@ -77,6 +77,44 @@ def compute_islands(state, man, num_iters: int = 16, warm_start: bool = True):
     return labels
 
 
+def exact_island_mask(state, seeds) -> "jnp.ndarray":
+    """Host-side EXACT island membership for the given seed bodies: a bool
+    [N] mask of every body transitively connected to any seed through
+    dynamic-dynamic contact/joint edges (union-find over the live edge list).
+
+    The on-device labels (``state.island_id``) are re-seeded every
+    RESET_PERIOD steps and take 1-2 steps to re-converge, so a label match is
+    NOT a reliable island test in that window. API-level consumers that need
+    whole-island semantics (World.wake_up, extrapolation's island freeze) use
+    this instead; the per-step sleep logic tolerates fragmentation (see
+    compute_islands docstring) and keeps the cheap labels."""
+    import numpy as np
+    N = state.capacity
+    dyn = np.asarray(state.is_dynamic)
+    parent = np.arange(N, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    man, jt = state.contacts, state.joints
+    ea = np.concatenate([np.asarray(man.body_a), np.asarray(jt.body_a)])
+    eb = np.concatenate([np.asarray(man.body_b), np.asarray(jt.body_b)])
+    ev = np.concatenate([np.asarray(man.valid), np.asarray(jt.valid)])
+    live = ev & dyn[ea] & dyn[eb]
+    for a, b in zip(ea[live].tolist(), eb[live].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {find(int(s)) for s in np.atleast_1d(np.asarray(seeds))}
+    mask = np.fromiter((find(i) in roots for i in range(N)), bool, N)
+    return jnp.asarray(mask)
+
+
 def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 4):
     """Recompute island labels, advance sleep timers, and derive the asleep
     mask. Sleeping bodies' velocities are zeroed (the reference removes them

@@ -113,6 +113,11 @@ class ContactRows:
     rhs_spin: jnp.ndarray
     rhs_roll1: jnp.ndarray
     rhs_roll2: jnp.ndarray
+    # rolling-row axes AFTER roll-direction alignment (t1/t2 scaled by the
+    # projection of each body's designated roll axis; reference:
+    # contact_extras_constraint.cpp:44-56)
+    roll_t1: jnp.ndarray  # [R,3]
+    roll_t2: jnp.ndarray
     # kept for the position solver / diagnostics
     rA: jnp.ndarray
     rB: jnp.ndarray
@@ -144,11 +149,12 @@ def scatter_add_ab(dvw, ab, lin_a, ang_a, lin_b, ang_b):
 
 
 def pack_solver_view(state):
-    """[N,32] per-body inputs for row building — ONE gather per row side.
+    """[N,35] per-body inputs for row building — ONE gather per row side.
 
     Layout: orn 0:4 | linvel 4:7 | angvel 7:10 | inv_m 10 | inv_I world 11:20
     | friction 20 | restitution 21 | spin_f 22 | roll_f 23 | stiffness 24 |
-    damping 25 | material_id 26 | has_material 27 | asleep 28 | com 29:32."""
+    damping 25 | material_id 26 | has_material 27 | asleep 28 | com 29:32 |
+    roll_axis 32:35."""
     N = state.capacity
     Iw = state.inertia_world_inv().reshape(N, 9)
     f = lambda x: x.astype(jnp.float32)[:, None]
@@ -157,7 +163,7 @@ def pack_solver_view(state):
         f(state.friction), f(state.restitution), f(state.spin_friction),
         f(state.roll_friction), f(state.stiffness), f(state.damping),
         f(state.material_id), f(state.has_material), f(state.asleep),
-        state.com,
+        state.com, state.roll_axis,
     ], axis=1)
 
 
@@ -346,18 +352,40 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
             em = jnp.where(term > 1e-12, 1.0 / jnp.maximum(term, 1e-12), 0.0)
             return sA, sB, em
 
+        # roll-direction alignment: scale each rolling-row axis by the
+        # projection of every designated roll axis onto it, so impulses in
+        # undesired directions vanish (reference:
+        # contact_extras_constraint.cpp:44-56; roll axes assigned per shape,
+        # rigidbody.cpp:119-127). Unlike the reference — which rotates both
+        # bodies' roll_dir by bodyA's orientation — each body's axis is
+        # rotated by its OWN orientation.
+        rdA = ga[:, 32:35]
+        rdB = gb[:, 32:35]
+        wrA = quat.rotate(orn_a, rdA)
+        wrB = quat.rotate(orn_b, rdB)
+        hasA = vec.length_sqr(rdA) > 1e-12
+        hasB = vec.length_sqr(rdB) > 1e-12
+
+        def roll_aligned(t):
+            sc = jnp.where(hasA, vec.dot(wrA, t), 1.0) \
+                * jnp.where(hasB, vec.dot(wrB, t), 1.0)
+            return t * sc[..., None]
+
+        roll_t1 = roll_aligned(t1)
+        roll_t2 = roll_aligned(t2)
         sA_n, sB_n, em_spin = ang_row(n)
-        sA_t1, sB_t1, em_roll1 = ang_row(t1)
-        sA_t2, sB_t2, em_roll2 = ang_row(t2)
+        sA_t1, sB_t1, em_roll1 = ang_row(roll_t1)
+        sA_t2, sB_t2, em_roll2 = ang_row(roll_t2)
         rel_w = wa - wb
         rhs_spin = -vec.dot(n, rel_w)
-        rhs_roll1 = -vec.dot(t1, rel_w)
-        rhs_roll2 = -vec.dot(t2, rel_w)
+        rhs_roll1 = -vec.dot(roll_t1, rel_w)
+        rhs_roll2 = -vec.dot(roll_t2, rel_w)
     else:
         # scene has no spin/roll materials (static fact) — skip the work
         sA_n = sB_n = sA_t1 = sB_t1 = sA_t2 = sB_t2 = None
         em_spin = em_roll1 = em_roll2 = None
         rhs_spin = rhs_roll1 = rhs_roll2 = None
+        roll_t1 = roll_t2 = None
 
     # soft contacts: normal impulse capped by the spring+damper force over dt
     # (penetration-proportional), instead of the rigid non-penetration row
@@ -381,7 +409,8 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
                        sA_t2=sA_t2, sB_t2=sB_t2,
                        em_spin=em_spin, em_roll1=em_roll1, em_roll2=em_roll2,
                        rhs_spin=rhs_spin, rhs_roll1=rhs_roll1,
-                       rhs_roll2=rhs_roll2, rA=rA, rB=rB,
+                       rhs_roll2=rhs_roll2, roll_t1=roll_t1, roll_t2=roll_t2,
+                       rA=rA, rB=rB,
                        dropped=rows_dropped)
 
 
@@ -409,8 +438,8 @@ def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,
     rel_w = wa - wb
     return dataclasses.replace(rows, rn=rn, r1=r1, r2=r2,
                                rhs_spin=-vec.dot(rows.n, rel_w),
-                               rhs_roll1=-vec.dot(rows.t1, rel_w),
-                               rhs_roll2=-vec.dot(rows.t2, rel_w))
+                               rhs_roll1=-vec.dot(rows.roll_t1, rel_w),
+                               rhs_roll2=-vec.dot(rows.roll_t2, rel_w))
 
 
 def warm_start_contacts(rows: ContactRows, imp6, dvw):
@@ -500,10 +529,10 @@ def solve_contacts_once(rows: ContactRows, imp6, dvw):
 
         # rolling friction: 2 angular rows about the tangents, joint 2D clamp
         max_r = rows.roll_friction * new_n
-        dr1 = (rows.rhs_roll1 - (vec.dot(rows.t1, dwa)
-                                 - vec.dot(rows.t1, dwb))) * rows.em_roll1
-        dr2 = (rows.rhs_roll2 - (vec.dot(rows.t2, dwa)
-                                 - vec.dot(rows.t2, dwb))) * rows.em_roll2
+        dr1 = (rows.rhs_roll1 - (vec.dot(rows.roll_t1, dwa)
+                                 - vec.dot(rows.roll_t1, dwb))) * rows.em_roll1
+        dr2 = (rows.rhs_roll2 - (vec.dot(rows.roll_t2, dwa)
+                                 - vec.dot(rows.roll_t2, dwb))) * rows.em_roll2
         r1n = r_imp[:, 0] + dr1
         r2n = r_imp[:, 1] + dr2
         lr = jnp.sqrt(r1n * r1n + r2n * r2n)

@@ -59,9 +59,15 @@ def closest_point_segment_segment(p1, q1, p2, q2):
     t_cl = jnp.clip(t, 0.0, 1.0)
     s = jnp.where(t != t_cl, jnp.clip((t_cl * b - c) / jnp.maximum(a, EPS), 0.0, 1.0), s)
     t = t_cl
-    # Fully degenerate guards
+    # Degenerate guards (Ericson 5.1.9 degenerate branches):
+    # second segment is a point -> t = 0, s = clamp(-c/a)
+    s = jnp.where(e <= EPS, jnp.clip(-c / jnp.maximum(a, EPS), 0.0, 1.0), s)
+    t = jnp.where(e <= EPS, 0.0, t)
+    # first segment is a point -> s = 0, t = clamp(f/e)
+    t = jnp.where(a <= EPS, jnp.clip(f / jnp.maximum(e, EPS), 0.0, 1.0), t)
     s = jnp.where(a <= EPS, 0.0, s)
-    t = jnp.where(e <= EPS, jnp.clip(-c / jnp.maximum(a, EPS) * 0.0 + f * 0.0, 0.0, 1.0), t)
+    # both points -> s = t = 0
+    t = jnp.where((a <= EPS) & (e <= EPS), 0.0, t)
     c1 = p1 + d1 * s[..., None]
     c2 = p2 + d2 * t[..., None]
     return s, t, c1, c2, vec.length_sqr(c1 - c2)

@@ -40,9 +40,11 @@ def _freeze_outside_islands(world, state, snap, emap):
         local = local[local >= 0]
     if len(local) == 0:
         return state
-    labels = np.asarray(world.state.island_id)
-    member_ids = np.unique(labels[local])
-    keep = np.isin(labels, member_ids) | ~np.asarray(world.state.is_dynamic)
+    # exact transitive membership (robust to the post-reset label
+    # fragmentation window of compute_islands)
+    from ..dynamics.islands import exact_island_mask
+    members = np.asarray(exact_island_mask(world.state, local))
+    keep = members | ~np.asarray(world.state.is_dynamic)
     keep_j = jnp.asarray(keep)
     return dataclasses.replace(
         state,

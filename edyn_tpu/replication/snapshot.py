@@ -41,6 +41,8 @@ COMPONENT_COLUMNS = {
     "shape_index": "shape_index",
     "sleeping_disabled": "sleeping_disabled",
     "networked": "networked",
+    # reference: roll_direction is a networked_comp (networked_comp.hpp:61)
+    "roll_direction": "roll_axis",
 }
 
 # the transient set re-sent continuously (reference: transient components in

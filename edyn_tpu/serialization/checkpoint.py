@@ -17,7 +17,12 @@ import numpy as np
 from ..config import Settings
 from ..core.state import WorldState
 
-FORMAT_VERSION = 1
+# v2: r2 state additions (com, overflow counters, user dict, compound
+#     child_type/params, convex disc_r/disc_axis, contact material scales,
+#     joint angle, params 20->60).
+# v3: contact keys int32 -> uint32, roll_axis column.
+FORMAT_VERSION = 3
+MIN_SUPPORTED_VERSION = 3
 
 
 def _path_key(path) -> str:
@@ -55,6 +60,12 @@ def load_world(path_or_file, template: Optional[WorldState] = None):
     rebuilt structurally (capacities come from the file)."""
     data = np.load(path_or_file)
     meta = json.loads(bytes(data["__meta__"]).decode()) if "__meta__" in data else {}
+    fmt = meta.get("format", 0)
+    if fmt < MIN_SUPPORTED_VERSION or fmt > FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {fmt} unsupported (this build reads "
+            f"{MIN_SUPPORTED_VERSION}..{FORMAT_VERSION}); re-save the world "
+            f"with the version that wrote it")
     settings = None
     if "settings" in meta:
         s = dict(meta["settings"])

@@ -47,6 +47,17 @@ ROLLING_TYPES = (ShapeType.SPHERE, ShapeType.CAPSULE, ShapeType.CYLINDER)
 AXIS_X, AXIS_Y, AXIS_Z = 0, 1, 2
 
 
+def shape_roll_direction(stype: int, sparams) -> np.ndarray:
+    """Unit object-space rolling axis for shapes restricted to roll about one
+    axis (cylinders/capsules about their coordinate axis; reference:
+    include/edyn/shapes/shapes.hpp:127-139 shape_rolling_direction). Zero for
+    shapes that roll isotropically or don't roll."""
+    v = np.zeros(3, np.float32)
+    if stype in (ShapeType.CYLINDER, ShapeType.CAPSULE):
+        v[int(round(float(sparams[2])))] = 1.0
+    return v
+
+
 @dataclasses.dataclass
 class SphereShape:
     radius: float

@@ -58,6 +58,33 @@ def test_closest_point_segment_segment_crossing():
     np.testing.assert_allclose(d2, [1.0], atol=1e-6)
 
 
+def test_closest_point_segment_segment_degenerate():
+    # second segment collapsed to a point: s must be clamp(-c/a) (Ericson's
+    # degenerate branch), t = 0
+    p1 = jnp.array([[0.0, 0, 0]])
+    q1 = jnp.array([[2.0, 0, 0]])
+    pt = jnp.array([[0.5, 1.0, 0]])
+    s, t, c1, c2, d2 = geom.closest_point_segment_segment(p1, q1, pt, pt)
+    np.testing.assert_allclose(s, [0.25], atol=1e-6)
+    np.testing.assert_allclose(t, [0.0], atol=1e-6)
+    np.testing.assert_allclose(c1, [[0.5, 0, 0]], atol=1e-6)
+    np.testing.assert_allclose(d2, [1.0], atol=1e-6)
+    # first segment collapsed
+    s, t, c1, c2, d2 = geom.closest_point_segment_segment(pt, pt, p1, q1)
+    np.testing.assert_allclose(t, [0.25], atol=1e-6)
+    np.testing.assert_allclose(s, [0.0], atol=1e-6)
+    np.testing.assert_allclose(d2, [1.0], atol=1e-6)
+    # both collapsed
+    s, t, c1, c2, d2 = geom.closest_point_segment_segment(pt, pt, p1, p1)
+    np.testing.assert_allclose([float(s[0]), float(t[0])], [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(d2, [1.25], atol=1e-6)
+    # point clamped past the end of the segment
+    far = jnp.array([[5.0, 1.0, 0]])
+    s, t, c1, c2, d2 = geom.closest_point_segment_segment(p1, q1, far, far)
+    np.testing.assert_allclose(s, [1.0], atol=1e-6)
+    np.testing.assert_allclose(d2, [10.0], atol=1e-6)
+
+
 def test_closest_point_triangle_regions():
     a = jnp.array([[0.0, 0, 0]])
     b = jnp.array([[1.0, 0, 0]])

@@ -60,6 +60,43 @@ def test_restitution_bounce():
     assert max_y > 0.9  # 0.81 energy-scaled from 1.5m drop + radius
 
 
+def test_wake_up_whole_island_despite_fragmented_labels():
+    """wake_up must wake the body's ENTIRE contact island even while the
+    on-device labels are fragmented (the 1-2 step window after each
+    RESET_PERIOD label re-seed)."""
+    import dataclasses
+    import jax.numpy as jnp
+    b, ids = scenes.box_stack(3)
+    lone = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.2), position=(50.0, 0.2, 0)))
+    w = et.make_world(b)
+    settle(w, 300)
+    assert all(w.is_asleep(i) for i in ids) and w.is_asleep(lone)
+    # simulate worst-case post-reset fragmentation: identity labels
+    w.state = dataclasses.replace(
+        w.state, island_id=jnp.arange(w.state.capacity, dtype=jnp.int32))
+    w.wake_up(ids[0])
+    assert not any(w.is_asleep(i) for i in ids), \
+        "label fragmentation broke whole-island wake"
+    assert w.is_asleep(lone), "wake_up leaked outside the island"
+
+
+def test_posed_plane_broadphase():
+    """A plane body with a non-identity POSITION must still pair in
+    broadphase (regression: plane_clip once used the object-space plane
+    constant, silently rejecting all pairs of a posed plane)."""
+    b = et.WorldBuilder()
+    b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.PlaneShape((0, 1, 0), 0.0),
+        position=(0, 5.0, 0)))
+    ball = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 7.0, 0)))
+    w = et.make_world(b)
+    settle(w, 240)
+    y = float(w.position(ball)[1])
+    assert abs(y - 5.5) < 0.05, f"ball fell through the posed plane: y={y}"
+
+
 def test_box_stack_stability():
     """10-box stack must not collapse or drift (BASELINE config 2)."""
     b, ids = scenes.box_stack(10)
