@@ -63,6 +63,22 @@ class World:
             self.state = physics_step(self.state, self.settings, self.meta)
         return self
 
+    def step_n(self, n: int, donate: bool = False):
+        """Advance n fixed-dt steps as ONE on-device program (lax.fori_loop
+        over the step; n is dynamic, so every trip count shares one compile).
+        Removes the per-step host dispatch + output copy of ``step`` — use
+        for headless batches (benchmarks, fast-forward, server catch-up).
+
+        ``donate=True`` additionally donates the input state buffers; only
+        safe when nothing else holds references to this world's previous
+        state arrays (e.g. published snapshots) AND no two state leaves
+        alias the same buffer (a freshly built world's identical zero
+        columns may — step once without donation first)."""
+        from ..simulation.stepper import physics_step_n, physics_step_n_donated
+        fn = physics_step_n_donated if donate else physics_step_n
+        self.state = fn(self.state, jnp.int32(n), self.settings, self.meta)
+        return self
+
     def update(self, elapsed: Optional[float] = None):
         """Variable-rate update with the fixed-dt accumulator (reference:
         stepper_sequential::update, including the max_steps cap that slows the

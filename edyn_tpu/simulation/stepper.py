@@ -251,3 +251,22 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
 # prev_state, the async worker's published snapshot). Revisit only if a
 # runtime shows the copies on the critical path.
 physics_step = jax.jit(physics_step_impl, static_argnames=("settings", "meta"))
+
+
+def _step_n_impl(state, n, settings: Settings, meta: SceneMeta):
+    """n fixed steps as ONE compiled program (reference analogue: the tight
+    step loop in stepper_sequential.cpp:71-102). ``n`` is a traced scalar so
+    every trip count shares one executable; XLA's while-loop carry reuses the
+    state buffers in place, eliminating the per-step host dispatch and the
+    per-step output copy of the host loop in World.step."""
+    return jax.lax.fori_loop(
+        0, n, lambda _, st: physics_step_impl(st, settings, meta), state)
+
+
+physics_step_n = jax.jit(_step_n_impl, static_argnames=("settings", "meta"))
+# donating variant: the caller's input state buffers are consumed. Only safe
+# when no references to the previous state's leaves are held (bench loops);
+# World.step_n exposes it behind donate=True.
+physics_step_n_donated = jax.jit(_step_n_impl,
+                                 static_argnames=("settings", "meta"),
+                                 donate_argnums=0)
