@@ -22,20 +22,36 @@ from .kernels.common import axis_onehot
 
 BIG = 1e30
 
+# feature kinds reported per hit (flattened encoding of the reference's
+# per-shape raycast info variants, include/edyn/collision/raycast.hpp:33-120):
+# FACE       sub_index = face id (box: axis*2 + (negative side), matching
+#            box_shape face ordering; cylinder: cap disc 0 (+axis) / 1;
+#            polyhedron: face table row)
+# SIDE       curved side wall of a cylinder/capsule (no sub index)
+# HEMISPHERE capsule cap, sub_index 0 (+axis) / 1 (-axis)
+# TRIANGLE   mesh hit, sub_index = triangle id in the body's mesh table row
+FEAT_NONE, FEAT_FACE, FEAT_SIDE, FEAT_HEMISPHERE, FEAT_TRIANGLE = 0, 1, 2, 3, 4
+
 
 def _ray_shape_local(stype, params, verts, vert_mask, face_normals, face_mask,
                      p0, d):
-    """Ray vs shape in the shape's object space. Returns (t, normal_local).
-    All inputs batched [C, ...]; masked evaluation over shape types."""
+    """Ray vs shape in the shape's object space. Returns
+    (t, normal_local, feature, sub_index). All inputs batched [C, ...];
+    masked evaluation over shape types."""
     C = p0.shape[0]
     t_out = jnp.full((C,), BIG)
     n_out = jnp.zeros((C, 3))
+    f_out = jnp.zeros((C,), jnp.int32)
+    s_out = jnp.zeros((C,), jnp.int32)
+    zi = jnp.zeros((C,), jnp.int32)
 
-    def merge(mask, t, n):
-        nonlocal t_out, n_out
+    def merge(mask, t, n, feat=None, sub=None):
+        nonlocal t_out, n_out, f_out, s_out
         better = mask & (t < t_out)
         t_out = jnp.where(better, t, t_out)
         n_out = jnp.where(better[:, None], n, n_out)
+        f_out = jnp.where(better, FEAT_NONE if feat is None else feat, f_out)
+        s_out = jnp.where(better, zi if sub is None else sub, s_out)
 
     st = stype
 
@@ -59,9 +75,12 @@ def _ray_shape_local(stype, params, verts, vert_mask, face_normals, face_mask,
     # face normal: axis of largest |p|/h ratio
     ratio = jnp.abs(p_hit) / jnp.maximum(h, 1e-9)
     ax = jnp.argmax(ratio, axis=-1)
-    n_b = axis_onehot(ax.astype(jnp.float32)) * jnp.sign(
-        jnp.take_along_axis(p_hit, ax[:, None], 1))
-    merge((st == ShapeType.BOX) & hit_b, jnp.where(hit_b, t_enter, BIG), n_b)
+    sign_ax = jnp.sign(jnp.take_along_axis(p_hit, ax[:, None], 1))
+    n_b = axis_onehot(ax.astype(jnp.float32)) * sign_ax
+    face_b = (ax.astype(jnp.int32) * 2
+              + (sign_ax[:, 0] < 0).astype(jnp.int32))
+    merge((st == ShapeType.BOX) & hit_b, jnp.where(hit_b, t_enter, BIG), n_b,
+          FEAT_FACE, face_b)
 
     # CAPSULE: cylinder side + 2 sphere caps
     rc = params[:, 0]
@@ -69,6 +88,8 @@ def _ray_shape_local(stype, params, verts, vert_mask, face_normals, face_mask,
     axis = axis_onehot(params[:, 2])
     t_cap = jnp.full((C,), BIG)
     n_cap = jnp.zeros((C, 3))
+    f_cap = jnp.full((C,), FEAT_SIDE, jnp.int32)
+    s_cap = jnp.zeros((C,), jnp.int32)
     # side: project out the axis component
     p0p = p0 - axis * vec.dot(p0, axis)[:, None]
     dp = d - axis * vec.dot(d, axis)[:, None]
@@ -84,19 +105,23 @@ def _ray_shape_local(stype, params, verts, vert_mask, face_normals, face_mask,
     n_side = vec.normalize((p0 + d * t_side[:, None]) - axis * z[:, None])
     t_cap = jnp.where(ok_side, t_side, t_cap)
     n_cap = jnp.where(ok_side[:, None], n_side, n_cap)
-    for sgn in (1.0, -1.0):
+    for ci, sgn in enumerate((1.0, -1.0)):
         cc = axis * hl[:, None] * sgn
         t_c = geom.intersect_ray_sphere(p0, d, cc, rc)
         better = t_c < t_cap
         n_c = vec.normalize(p0 + d * t_c[:, None] - cc)
         t_cap = jnp.where(better, t_c, t_cap)
         n_cap = jnp.where(better[:, None], n_c, n_cap)
-    merge(st == ShapeType.CAPSULE, t_cap, n_cap)
+        f_cap = jnp.where(better, FEAT_HEMISPHERE, f_cap)
+        s_cap = jnp.where(better, ci, s_cap)
+    merge(st == ShapeType.CAPSULE, t_cap, n_cap, f_cap, s_cap)
 
     # CYLINDER: side within |z|<=hl + cap disks
     t_cyl = jnp.where(ok & (t_side >= 0) & (jnp.abs(z) <= hl), t_side, BIG)
     n_cyl = n_side
-    for sgn in (1.0, -1.0):
+    f_cyl = jnp.full((C,), FEAT_SIDE, jnp.int32)
+    s_cyl = jnp.zeros((C,), jnp.int32)
+    for ci, sgn in enumerate((1.0, -1.0)):
         denom = vec.dot(d, axis) * sgn
         t_d = (hl - vec.dot(p0, axis) * sgn) / jnp.where(
             jnp.abs(denom) > 1e-9, denom, 1e-9)
@@ -107,7 +132,9 @@ def _ray_shape_local(stype, params, verts, vert_mask, face_normals, face_mask,
         better = ok_d & (t_d < t_cyl)
         t_cyl = jnp.where(better, t_d, t_cyl)
         n_cyl = jnp.where(better[:, None], axis * sgn, n_cyl)
-    merge(st == ShapeType.CYLINDER, t_cyl, n_cyl)
+        f_cyl = jnp.where(better, FEAT_FACE, f_cyl)
+        s_cyl = jnp.where(better, ci, s_cyl)
+    merge(st == ShapeType.CYLINDER, t_cyl, n_cyl, f_cyl, s_cyl)
 
     # POLYHEDRON: convex half-space clipping over face planes
     if face_normals.shape[1] > 0:
@@ -130,9 +157,10 @@ def _ray_shape_local(stype, params, verts, vert_mask, face_normals, face_mask,
         near_idx = jnp.argmax(jnp.where(fm & entering, t_f, -BIG), axis=1)
         n_ph = jnp.take_along_axis(face_normals, near_idx[:, None, None].repeat(3, -1), 1)[:, 0]
         merge((st == ShapeType.POLYHEDRON) & hit_ph,
-              jnp.where(hit_ph, t_ph, BIG), n_ph)
+              jnp.where(hit_ph, t_ph, BIG), n_ph,
+              FEAT_FACE, near_idx.astype(jnp.int32))
 
-    return t_out, n_out
+    return t_out, n_out, f_out, s_out
 
 
 @functools.partial(jax.jit, static_argnames=("max_candidates",))
@@ -179,8 +207,10 @@ def raycast(state, p0, p1, max_candidates: int = 16):
         fnorm = jnp.zeros((C, 0, 3))
         fmask = jnp.zeros((C, 0), bool)
 
-    t_l, n_l = _ray_shape_local(state.shape_type[flat], state.shape_params[flat],
-                                verts, vmask, fnorm, fmask, p0_l, d_l)
+    t_l, n_l, f_l, s_l = _ray_shape_local(
+        state.shape_type[flat], state.shape_params[flat],
+        verts, vmask, fnorm, fmask, p0_l, d_l)
+    child_l = jnp.full((C,), -1, jnp.int32)
 
     # MESH candidates: walk the baked candidate grid along the ray instead of
     # testing every triangle (reference walks the static BVH, raycast.cpp:380;
@@ -224,6 +254,8 @@ def raycast(state, p0, p1, max_candidates: int = 16):
         better = is_mesh & (t_m < t_l)
         t_l = jnp.where(better, t_m, t_l)
         n_l = jnp.where(better[:, None], n_m, n_l)
+        f_l = jnp.where(better, FEAT_TRIANGLE, f_l)
+        s_l = jnp.where(better, best_id.astype(jnp.int32), s_l)
 
     # COMPOUND candidates: per-child exact raycast, min over children
     # (reference: raycast.cpp:323 compound dispatch into child shapes)
@@ -245,7 +277,7 @@ def raycast(state, p0, p1, max_candidates: int = 16):
         rflat = rows.reshape(-1)
         fm_c = cx.face_mask[rflat] & \
             (ctype == ShapeType.POLYHEDRON)[:, None]
-        t_c, n_c = _ray_shape_local(
+        t_c, n_c, f_c, s_c = _ray_shape_local(
             ctype, cprm, cx.verts[rflat], cx.vert_mask[rflat],
             cx.face_normals[rflat], fm_c,
             p0_c.reshape(CC, 3), d_c.reshape(CC, 3))
@@ -255,15 +287,21 @@ def raycast(state, p0, p1, max_candidates: int = 16):
         t_comp = jnp.take_along_axis(t_c, bi[:, None], 1)[:, 0]
         n_comp = jnp.take_along_axis(
             n_b, bi[:, None, None].repeat(3, -1), 1)[:, 0]
+        f_comp = jnp.take_along_axis(f_c.reshape(C, CH), bi[:, None], 1)[:, 0]
+        s_comp = jnp.take_along_axis(s_c.reshape(C, CH), bi[:, None], 1)[:, 0]
         better = is_comp & (t_comp < t_l)
         t_l = jnp.where(better, t_comp, t_l)
         n_l = jnp.where(better[:, None], n_comp, n_l)
+        f_l = jnp.where(better, f_comp, f_l)
+        s_l = jnp.where(better, s_comp, s_l)
+        child_l = jnp.where(better, bi.astype(jnp.int32), child_l)
 
     t = jnp.where(cand_ok.reshape(-1), t_l, BIG).reshape(Q, H)
     n_w = quat.rotate(orn_c, n_l).reshape(Q, H, 3)
 
     best = jnp.argmin(t, axis=1)
-    t_best = jnp.take_along_axis(t, best[:, None], 1)[:, 0]
+    take = lambda x: jnp.take_along_axis(x.reshape(Q, H), best[:, None], 1)[:, 0]
+    t_best = take(t.reshape(-1))
     hit = t_best <= 1.0
     entity = jnp.where(hit, jnp.take_along_axis(cand, best[:, None], 1)[:, 0], -1)
     normal = jnp.take_along_axis(n_w, best[:, None, None].repeat(3, -1), 1)[:, 0]
@@ -271,4 +309,10 @@ def raycast(state, p0, p1, max_candidates: int = 16):
         "fraction": jnp.where(hit, t_best, 1.0),
         "entity": entity,
         "normal": jnp.where(hit[:, None], normal, 0.0),
+        # per-shape feature detail (reference shape_raycast_result info
+        # variants, raycast.hpp:33-120): FEAT_* kind, its sub index, and the
+        # compound child index (-1 when the hit body isn't a compound)
+        "feature": jnp.where(hit, take(f_l), FEAT_NONE),
+        "sub_index": jnp.where(hit, take(s_l), 0),
+        "child_index": jnp.where(hit, take(child_l), -1),
     }
