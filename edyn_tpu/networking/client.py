@@ -26,7 +26,9 @@ INPUT_RESEND_WINDOW = 0.5  # seconds of history re-sent per upload
 
 
 class NetworkClient:
-    def __init__(self, world, send: Callable, enable_extrapolation: bool = True):
+    def __init__(self, world, send: Callable, enable_extrapolation: bool = True,
+                 background_extrapolation: bool = True,
+                 extrapolation_time_limit: float = 0.1):
         self.world = world
         self.send = send
         self.clock = ClockSync()
@@ -34,6 +36,12 @@ class NetworkClient:
         self.owned: set = set()          # local entities created by this client
         self.input_history = InputHistory()
         self.enable_extrapolation = enable_extrapolation
+        # snapshot replays run on a dedicated thread with a wall-clock budget
+        # (reference: extrapolation_worker, created lazily on first use);
+        # background_extrapolation=False keeps the legacy inline replay
+        self.background_extrapolation = background_extrapolation
+        self.extrapolation_time_limit = extrapolation_time_limit
+        self._extrap_worker = None
         self.server_settings: Optional[pk.ServerSettings] = None
         self._last_clock_sync = -1e9
         self._last_snapshot = -1e9
@@ -77,6 +85,9 @@ class NetworkClient:
 
     # -- per-frame update ----------------------------------------------
     def update(self, now: float):
+        # apply any finished background extrapolation first (reference:
+        # extrapolation results imported at the top of client update)
+        self._poll_extrapolation()
         if now - self._last_clock_sync >= CLOCK_SYNC_INTERVAL:
             self._last_clock_sync = now
             self.send(self.clock.make_request(now))
@@ -220,24 +231,59 @@ class NetworkClient:
                                 timestamp=snap.timestamp)
         if len(snap.entities) == 0:
             return
-        old_pos = np.asarray(self.world.state.pos)
         if self.enable_extrapolation and now - local_time > self.world.settings.fixed_dt:
+            if self.background_extrapolation:
+                # hand the replay to the worker thread and return immediately
+                # (reference: extrapolation worker request,
+                # client_side.cpp:712-735 -> extrapolation_worker.hpp:27);
+                # the result merges on a later update() via
+                # _poll_extrapolation
+                if self._extrap_worker is None:
+                    from .extrapolation import ExtrapolationWorker
+                    self._extrap_worker = ExtrapolationWorker(
+                        self.world, time_limit=self.extrapolation_time_limit)
+                self._extrap_worker.submit(snap, self.entity_map, local_time,
+                                           now, self.input_history)
+                return
+            old_pos = np.asarray(self.world.state.pos)
             state, steps, timed_out = extrapolate(
                 self.world, snap, self.entity_map, local_time, now,
-                self.input_history)
-            # merge extrapolated transforms of snapshot entities into the live
-            # world (process_extrapolation_result analogue)
-            local = np.array([self.entity_map.to_local(int(e))
-                              for e in snap.entities], np.int32)
-            merged = extract_snapshot(state, local, TRANSIENT_COMPONENTS)
-            self.world.state = apply_snapshot(self.world.state, merged)
-            self.world.wake_set(set(local.tolist()))
+                self.input_history,
+                time_limit=self.extrapolation_time_limit)
+            self._merge_extrapolation(snap, state)
+            self.disc_pos += old_pos - np.asarray(self.world.state.pos)
         else:
+            old_pos = np.asarray(self.world.state.pos)
             self.world.state = apply_snapshot(self.world.state, snap,
                                               self.entity_map)
-        # accumulate discontinuity = old - new for presentation smoothing
-        new_pos = np.asarray(self.world.state.pos)
-        self.disc_pos += old_pos - new_pos
+            # accumulate discontinuity = old - new for presentation smoothing
+            self.disc_pos += old_pos - np.asarray(self.world.state.pos)
+
+    def _merge_extrapolation(self, snap, state):
+        """Merge extrapolated transforms of snapshot entities into the live
+        world (process_extrapolation_result analogue)."""
+        local = np.array([self.entity_map.to_local(int(e))
+                          for e in snap.entities], np.int32)
+        merged = extract_snapshot(state, local, TRANSIENT_COMPONENTS)
+        self.world.state = apply_snapshot(self.world.state, merged)
+        self.world.wake_set(set(local.tolist()))
+
+    def _poll_extrapolation(self):
+        if self._extrap_worker is None:
+            return
+        res = self._extrap_worker.poll()
+        if res is None:
+            return
+        snap, state, steps, timed_out = res
+        old_pos = np.asarray(self.world.state.pos)
+        self._merge_extrapolation(snap, state)
+        self.disc_pos += old_pos - np.asarray(self.world.state.pos)
+
+    def close(self):
+        """Stop the background extrapolation worker, if one was started."""
+        if self._extrap_worker is not None:
+            self._extrap_worker.stop()
+            self._extrap_worker = None
 
     def presentation_position(self, i: int):
         """Smoothed position (reference: present_position + discontinuity)."""

@@ -58,13 +58,21 @@ def _freeze_outside_islands(world, state, snap, emap):
 def extrapolate(world, snap: RegistrySnapshot, emap, snapshot_local_time: float,
                 now: float, input_history=None,
                 max_steps: int = MAX_EXTRAPOLATION_STEPS,
-                islands_only: bool = True):
+                islands_only: bool = True,
+                time_limit: Optional[float] = None):
     """Returns (state, steps_done, timed_out): a scratch state advanced from
     the snapshot's time to ~now. The caller merges the result into the live
     world (process_extrapolation_result analogue). With ``islands_only`` the
     replay only simulates the snapshot's islands — everything else is frozen
     as static environment (10k-body worlds don't re-step for a 5-body
-    snapshot)."""
+    snapshot).
+
+    ``time_limit`` bounds the replay by WALL CLOCK like the reference's
+    execution time limit (extrapolation_worker.cpp:475-480) — checked after
+    every completed device step; on expiry the replay stops where it is and
+    ``timed_out`` is True."""
+    import time as _time
+    import jax as _jax
     dt = world.settings.fixed_dt
     num_steps = max(0, int(math.floor((now - snapshot_local_time) / dt)))
     timed_out = num_steps > max_steps
@@ -74,9 +82,76 @@ def extrapolate(world, snap: RegistrySnapshot, emap, snapshot_local_time: float,
     if islands_only:
         state = _freeze_outside_islands(world, state, snap, emap)
     t = snapshot_local_time
+    t_start = _time.perf_counter()
+    steps_done = 0
     for _ in range(num_steps):
         if input_history is not None:
             state = input_history.apply(state, t, dt)
         state = physics_step(state, world.settings, world.meta)
         t += dt
-    return state, num_steps, timed_out
+        steps_done += 1
+        if time_limit is not None:
+            _jax.block_until_ready(state.pos)
+            if _time.perf_counter() - t_start > time_limit:
+                timed_out = timed_out or steps_done < num_steps
+                break
+    return state, steps_done, timed_out
+
+
+class ExtrapolationWorker:
+    """Dedicated extrapolation thread (reference: extrapolation_worker.hpp:27-104
+    — its own registry + message-driven replay off the main thread).
+
+    Requests are LATEST-WINS (a newer server snapshot obsoletes a pending
+    replay, matching the reference's republishing behavior); results are
+    polled by the client on its next update. The replay runs under the
+    wall-clock ``time_limit``."""
+
+    def __init__(self, world, time_limit: float = 0.1,
+                 max_steps: int = MAX_EXTRAPOLATION_STEPS):
+        import threading
+        self.world = world
+        self.time_limit = time_limit
+        self.max_steps = max_steps
+        self._cv = threading.Condition()
+        self._request = None
+        self._result = None
+        self._running = True
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="edyn-extrapolation")
+        self._thread.start()
+
+    def submit(self, snap, emap, snapshot_local_time: float, now: float,
+               input_history=None):
+        with self._cv:
+            self._request = (snap, emap, snapshot_local_time, now,
+                             input_history)
+            self._cv.notify()
+
+    def poll(self):
+        """(snap, state, steps, timed_out) of the most recently finished
+        replay, or None. Clears the slot."""
+        with self._cv:
+            r, self._result = self._result, None
+        return r
+
+    def stop(self):
+        with self._cv:
+            self._running = False
+            self._cv.notify()
+        self._thread.join(timeout=5.0)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while self._running and self._request is None:
+                    self._cv.wait()
+                if not self._running:
+                    return
+                req, self._request = self._request, None
+            snap, emap, t_snap, now, hist = req
+            state, steps, timed_out = extrapolate(
+                self.world, snap, emap, t_snap, now, hist,
+                max_steps=self.max_steps, time_limit=self.time_limit)
+            with self._cv:
+                self._result = (snap, state, steps, timed_out)

@@ -195,3 +195,86 @@ def test_checkpoint_roundtrip():
     w2.step(10)
     np.testing.assert_allclose(np.asarray(w.state.pos),
                                np.asarray(w2.state.pos), atol=1e-6)
+
+
+def test_background_extrapolation_off_receive_path():
+    """receive() must hand a long replay to the worker thread and return
+    quickly; the result is merged on a later update() (reference:
+    extrapolation_worker.hpp:27-104)."""
+    import time
+    client_world = _empty_world()
+    ball = client_world.spawn(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 5, 0),
+        material=et.Material(friction=0.5), networked=True))
+    client = NetworkClient(client_world, lambda p: None,
+                           enable_extrapolation=True,
+                           background_extrapolation=True,
+                           extrapolation_time_limit=30.0)
+    client.entity_map.insert(100, ball)
+    client_world.step(1)  # compile the step before timing receive()
+    client_world.block_until_ready()
+
+    snap = extract_snapshot(client_world.state, [ball],
+                            ("position", "linvel"))
+    snap.entities = np.array([100], np.int32)
+    snap.pools["position"][:] = [0.0, 8.0, 0.0]
+    snap.pools["linvel"][:] = [0.0, 0.0, 0.0]
+    # snapshot from 20 steps in the past -> a 20-step replay
+    dt = client_world.settings.fixed_dt
+    now = 21 * dt
+    t0 = time.perf_counter()
+    client.receive(pk.TransientSnapshot(timestamp=dt, snapshot=snap), now)
+    recv_time = time.perf_counter() - t0
+    assert recv_time < 0.05, f"receive() blocked for {recv_time*1e3:.1f} ms"
+
+    # the replay lands asynchronously; poll update() until it merges
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        client.update(now)
+        y = float(client_world.position(ball)[1])
+        if abs(y - 5.0) > 0.3:  # moved off the live value -> replay applied
+            break
+        time.sleep(0.05)
+    y = float(client_world.position(ball)[1])
+    # started at 8 and fell for ~20 steps of gravity, clearly distinct from 5
+    assert 6.5 < y < 8.0, f"extrapolated y={y}"
+    client.close()
+
+
+def test_extrapolation_wall_clock_limit():
+    """The replay is bounded by wall-clock time, not only a step count
+    (reference: extrapolation_worker.cpp:475-480)."""
+    from edyn_tpu.networking.extrapolation import extrapolate
+    w = _empty_world()
+    ball = w.spawn(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 5, 0),
+        material=et.Material(friction=0.5), networked=True))
+    w.step(1)
+    w.block_until_ready()
+    snap = extract_snapshot(w.state, [ball], ("position", "linvel"))
+    dt = w.settings.fixed_dt
+    state, steps, timed_out = extrapolate(
+        w, snap, None, 0.0, 20 * dt, time_limit=1e-6)
+    assert timed_out and steps < 20
+
+
+def test_adaptive_presentation_delay_converges():
+    """Injected step jitter must push the presentation delay up to a
+    fixed_dt boundary covering avg + deviation (stepper_async.cpp:240-277)."""
+    from edyn_tpu.simulation.presentation import Presentation
+    w = _empty_world()
+    pres = Presentation(w, adaptive=True)
+    dt = w.settings.fixed_dt
+    rng = np.random.default_rng(0)
+    # simulation lags the render clock by a jittery 50-70 ms
+    for k in range(300):
+        sim_t = k * dt
+        w.state = dataclasses.replace(
+            w.state, sim_time=w.state.sim_time * 0 + sim_t)
+        render_t = sim_t + 0.05 + 0.02 * rng.random()
+        pres.observe(render_t)
+    # delay converged onto a fixed_dt boundary covering avg + deviation
+    assert pres.presentation_delay >= 0.05 - 1e-6, pres.presentation_delay
+    assert pres.presentation_delay <= 0.1, pres.presentation_delay
+    assert abs(pres.presentation_delay / dt - round(
+        pres.presentation_delay / dt)) < 1e-3
