@@ -47,17 +47,33 @@ class PagedTerrain:
                  on_page_unload: Optional[Callable] = None,
                  start_loaded: bool = False,
                  pool_slots: Optional[int] = None,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 prefetch_distance: Optional[float] = None,
+                 prefetch: bool = True):
         vertices = np.asarray(vertices, np.float64)
         indices = np.asarray(indices, np.int64)
         material = material or Material(friction=0.7)
         self.tile_size = float(tile_size)
         self.load_distance = float(load_distance)
+        # prefetch radius > activation radius so pages decode on the
+        # background thread BEFORE a body gets close enough to need them
+        # (reference: background page-load jobs,
+        # triangle_mesh_page_loader.hpp:10)
+        self.prefetch_distance = (float(prefetch_distance)
+                                  if prefetch_distance is not None
+                                  else 3.0 * float(load_distance))
+        self.prefetch_enabled = prefetch
+        self.prefetch_misses = 0  # loads that found no prefetched row
         self.on_page_load = on_page_load
         self.on_page_unload = on_page_unload
         self.world = None
         self.pool_slots = pool_slots
         self.cache_dir = cache_dir
+        self._prefetch_thread = None
+        self._prefetch_stop = False
+        import threading
+        self._ready_lock = threading.Lock()
+        self._ready: dict = {}  # tile -> decoded row (prefetch cache)
 
         # tile split over the dominant plane
         tv = vertices[indices]
@@ -103,35 +119,54 @@ class PagedTerrain:
 
     # -- streaming tier ---------------------------------------------------
     def _bake_host_tiles(self, tiles):
-        """Bake every tile to mesh-table ROW format host-side, with optional
-        .npz binary caches (reference: paged_triangle_mesh_s11n page cache)."""
+        """Bake every tile to mesh-table ROW format, with optional .npz
+        binary caches (reference: paged_triangle_mesh_s11n page cache).
+
+        With a cache_dir, baked rows live ON DISK only — host RAM holds just
+        the per-tile size metadata plus the prefetch cache, so terrain size
+        is bounded by disk, not RAM (reference Design.md:187-197). Without
+        one, rows stay in RAM (small terrains)."""
         from .mesh import build_grid, preprocess_trimesh
         rows = []
+        sizes = []
         for k, tile in enumerate(tiles):
             cache = (os.path.join(self.cache_dir, f"tile_{k}.npz")
                      if self.cache_dir else None)
             if cache and os.path.exists(cache):
                 d = np.load(cache)
-                rows.append({n: d[n] for n in d.files})
-                continue
-            tv, n, adj, fr, re = preprocess_trimesh(tile.vertices, tile.indices)
-            grid, origin, cell, gaxes, bounds, _ = build_grid(tv)
-            row = dict(tv=tv.astype(np.float32), n=n.astype(np.float32),
-                       adj=adj.astype(np.float32), fr=fr.astype(np.float32),
-                       re=re.astype(np.float32), grid=grid,
-                       origin=origin.astype(np.float32),
-                       cell=np.float32(cell), axes=gaxes,
-                       lo=np.asarray(bounds[0], np.float32),
-                       hi=np.asarray(bounds[1], np.float32))
-            if cache:
-                os.makedirs(self.cache_dir, exist_ok=True)
-                np.savez_compressed(cache, **row)
-            rows.append(row)
+                row = {n: d[n] for n in d.files}
+            else:
+                tv, n, adj, fr, re = preprocess_trimesh(tile.vertices,
+                                                        tile.indices)
+                grid, origin, cell, gaxes, bounds, _ = build_grid(tv)
+                row = dict(tv=tv.astype(np.float32), n=n.astype(np.float32),
+                           adj=adj.astype(np.float32), fr=fr.astype(np.float32),
+                           re=re.astype(np.float32), grid=grid,
+                           origin=origin.astype(np.float32),
+                           cell=np.float32(cell), axes=gaxes,
+                           lo=np.asarray(bounds[0], np.float32),
+                           hi=np.asarray(bounds[1], np.float32))
+                if cache:
+                    os.makedirs(self.cache_dir, exist_ok=True)
+                    np.savez_compressed(cache, **row)
+            sizes.append((len(row["tv"]),) + row["grid"].shape)
+            rows.append(None if self.cache_dir else row)
         self._host_tiles = rows
-        self._maxt = max(len(r["tv"]) for r in rows)
-        self._gx = max(r["grid"].shape[0] for r in rows)
-        self._gy = max(r["grid"].shape[1] for r in rows)
-        self._gcap = max(r["grid"].shape[2] for r in rows)
+        self._maxt = max(s[0] for s in sizes)
+        self._gx = max(s[1] for s in sizes)
+        self._gy = max(s[2] for s in sizes)
+        self._gcap = max(s[3] for s in sizes)
+
+    def _get_row(self, k: int):
+        """Decoded row for tile k: prefetch cache -> RAM -> disk."""
+        with self._ready_lock:
+            r = self._ready.get(k)
+        if r is not None:
+            return r
+        if self._host_tiles[k] is not None:
+            return self._host_tiles[k]
+        d = np.load(os.path.join(self.cache_dir, f"tile_{k}.npz"))
+        return {n: d[n] for n in d.files}
 
     def _make_pool_table(self):
         """Device mesh-table pool: pool_slots rows sized to the largest tile."""
@@ -151,7 +186,7 @@ class PagedTerrain:
     def _write_tile(self, slot: int, k: int):
         """DMA one host tile into a device pool slot."""
         import jax.numpy as jnp
-        r = self._host_tiles[k]
+        r = self._get_row(k)
         T = len(r["tv"])
         m = self.world.state.mesh
         pad = lambda x, w: np.pad(x, [(0, w - x.shape[0])] +
@@ -184,6 +219,56 @@ class PagedTerrain:
             grid_axes=m.grid_axes.at[slot].set(jnp.asarray(r["axes"])))
         self.world.state = dataclasses.replace(self.world.state, mesh=m)
 
+    # -- background prefetch ---------------------------------------------
+    def _near_tiles(self, pos, vel, radius: float, horizon: float = 0.25):
+        """Tile ids whose center is within ``radius`` of any position or its
+        velocity-predicted position ``horizon`` seconds ahead."""
+        if not len(pos):
+            return []
+        pts = np.concatenate([pos, pos + vel * horizon])
+        out = []
+        for k, center in enumerate(self.centers):
+            if (np.abs(pts - center).max(axis=1)
+                    < self.tile_size / 2 + radius).any():
+                out.append(k)
+        return out
+
+    def _prefetch_loop(self):
+        import time
+        while not self._prefetch_stop:
+            try:
+                st = self.world.state
+                awake = np.asarray(st.is_dynamic) & ~np.asarray(st.asleep)
+                pos = np.asarray(st.pos)[awake]
+                vel = np.asarray(st.linvel)[awake]
+                want = self._near_tiles(pos, vel, self.prefetch_distance)
+                with self._ready_lock:
+                    have = set(self._ready)
+                for k in want:
+                    if self._prefetch_stop:
+                        return
+                    if k in have or self.loaded[k]:
+                        continue
+                    row = self._get_row(k)  # disk decode off the sim thread
+                    with self._ready_lock:
+                        self._ready[k] = row
+                # evict prefetched rows that fell out of range (bound RAM)
+                keep = set(want)
+                with self._ready_lock:
+                    for k in list(self._ready):
+                        if k not in keep:
+                            del self._ready[k]
+            except Exception:
+                pass  # terrain may be mid-teardown; retry next tick
+            time.sleep(0.01)
+
+    def stop(self):
+        """Stop the prefetch thread (pool/streaming tier only)."""
+        self._prefetch_stop = True
+        if self._prefetch_thread is not None:
+            self._prefetch_thread.join(timeout=2.0)
+            self._prefetch_thread = None
+
     def attach(self, world):
         self.world = world
         if self.pool_slots is None:
@@ -204,6 +289,12 @@ class PagedTerrain:
             world.meta = dataclasses.replace(
                 world.meta,
                 types_present=world.meta.types_present | {int(ShapeType.MESH)})
+            if self.prefetch_enabled:
+                import threading
+                self._prefetch_thread = threading.Thread(
+                    target=self._prefetch_loop, daemon=True,
+                    name="edyn-terrain-prefetch")
+                self._prefetch_thread.start()
         return self
 
     def _set_valid(self, bodies, value: bool):
@@ -223,13 +314,16 @@ class PagedTerrain:
         pos = np.asarray(st.pos)[awake]
         want_load, want_unload = [], []
         for k, center in enumerate(self.centers):
-            near = bool(len(pos)) and bool(
-                (np.abs(pos - center).max(axis=1)
-                 < self.tile_size / 2 + self.load_distance).any())
+            dist = (np.abs(pos - center).max(axis=1).min()
+                    if len(pos) else np.inf)
+            near = dist < self.tile_size / 2 + self.load_distance
             if near and not self.loaded[k]:
-                want_load.append(k)
+                want_load.append((dist, k))
             elif not near and self.loaded[k]:
                 want_unload.append(k)
+        # nearest first: when the pool can't hold every tile in range, the
+        # tiles actually under bodies win the slots
+        want_load = [k for _, k in sorted(want_load)]
 
         if self.pool_slots is None:
             for k in want_load:
@@ -265,6 +359,10 @@ class PagedTerrain:
                 break  # pool exhausted — farther tiles stay unloaded
             self.slot_tile[slot] = k
             self.tile_slot[k] = slot
+            with self._ready_lock:
+                was_ready = k in self._ready or self._host_tiles[k] is not None
+            if not was_ready:
+                self.prefetch_misses += 1
             self._write_tile(slot, k)
             body = self.bodies[k]
             stt = self.world.state

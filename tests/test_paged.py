@@ -88,3 +88,48 @@ def test_streaming_pool_bounded_memory():
         t2 = PagedTerrain(b2, verts, tris, tile_size=6.0,
                           pool_slots=4, cache_dir=cache)
         assert len(t2._host_tiles) == n_tiles
+
+
+def test_prefetch_thread_keeps_loads_off_the_step():
+    """Background prefetch (reference: triangle_mesh_page_loader.hpp:10 +
+    paged_triangle_mesh_s11n disk cache): a body crossing a 100+-tile
+    terrain never waits on a disk decode inside update() — every activation
+    finds its row already prefetched, and rows round-trip from disk only
+    (host RAM holds no baked tiles in cache_dir mode)."""
+    import tempfile
+    import time
+    verts, tris = make_grid_mesh(24, 24, 1.0)
+    n = np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                 verts[tris[:, 2]] - verts[tris[:, 0]])
+    tris[n[:, 1] < 0] = tris[n[:, 1] < 0][:, [0, 2, 1]]
+
+    with tempfile.TemporaryDirectory() as cache:
+        b = et.WorldBuilder()
+        terrain = PagedTerrain(b, verts, tris, tile_size=2.0,
+                               pool_slots=24, cache_dir=cache,
+                               load_distance=2.0, prefetch_distance=8.0)
+        assert len(terrain.bodies) >= 100, len(terrain.bodies)
+        # disk-only baking: no decoded rows pinned in RAM
+        assert all(r is None for r in terrain._host_tiles)
+        ball = b.make_rigidbody(et.RigidBodyDef(
+            mass=1.0, shape=et.SphereShape(0.3), position=(-10.0, 0.8, -10.0),
+            linvel=(10.0, 0, 10.0),
+            material=et.Material(friction=0.02, roll_friction=0.0),
+            sleeping_disabled=True))
+        w = et.make_world(b)
+        terrain.attach(w)
+        assert terrain._prefetch_thread is not None
+        time.sleep(0.5)  # let the prefetcher decode the starting tiles
+        terrain.update()
+        ys = []
+        for _ in range(130):
+            w.step()
+            w.block_until_ready()
+            time.sleep(0.005)  # render-frame pacing the prefetcher rides on
+            terrain.update()
+            ys.append(float(w.position(ball)[1]))
+        terrain.stop()
+        assert min(ys) > 0.1, min(ys)  # no tunnelling: pages arrived in time
+        assert float(w.position(ball)[0]) > -4.0  # crossed multiple tiles
+        assert terrain.prefetch_misses == 0, \
+            f"{terrain.prefetch_misses} activations waited on a disk decode"
