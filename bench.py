@@ -42,7 +42,7 @@ def bench_size(n_bodies: int):
     import edyn_tpu as et
     from edyn_tpu.utils import scenes
 
-    builder, _ = scenes.mixed_pile(n_bodies=n_bodies)
+    builder, ids = scenes.mixed_pile(n_bodies=n_bodies)
     world = et.make_world(builder, et.Settings())
 
     # compile + initial contact
@@ -58,8 +58,41 @@ def bench_size(n_bodies: int):
             settled = _time_steps(world, N_STEPS)
     else:
         settled = _time_steps(world, N_STEPS)
+
+    # mostly-asleep phase: the settled pile is put to sleep and 100 bodies
+    # are relaunched above it as their own islands — the sleep-gated step
+    # (stepper sleep_gating) should cost a fraction of the awake step
+    # (reference: sleeping islands are excluded from every phase,
+    # island_manager.cpp:541-596)
+    import dataclasses as _dc
+    import numpy as _np
+    world.put_to_sleep()
+    n_active = min(100, n_bodies // 10)
+    st = world.state
+    pos = _np.asarray(st.pos)
+    # take the HIGHEST bodies of the settled pile: relaunching them leaves
+    # the sleeping pile below mechanically intact
+    ids_arr = _np.asarray(ids, _np.int64)
+    act = ids_arr[_np.argsort(-pos[ids_arr, 1])[:n_active]]
+    top = float(pos[_np.asarray(st.is_dynamic)][:, 1].max())
+    g = int(_np.ceil(_np.sqrt(n_active)))
+    newpos = pos.copy()
+    for k, e in enumerate(act):
+        newpos[e] = ((k % g) * 1.2 - g * 0.6, top + 25.0 + (k // g) * 1.2,
+                     (k // g) * 1.2 - g * 0.6)
+    import jax.numpy as jnp
+    world.state = _dc.replace(st, pos=jnp.asarray(newpos, st.pos.dtype))
+    world.wake_set(set(act.tolist()))
+    world.step_n(2)  # re-detect: stale manifolds of the moved bodies break
+    world.block_until_ready()
+    asleep_frac = float(_np.asarray(world.state.asleep).sum()
+                        / max(1, int(_np.asarray(world.state.is_dynamic).sum())))
+    mostly_asleep = _time_steps(world, N_STEPS)
+
     return {"bodies": n_bodies, "falling_steps_per_sec": round(falling, 2),
-            "settled_steps_per_sec": round(settled, 2)}
+            "settled_steps_per_sec": round(settled, 2),
+            "mostly_asleep_steps_per_sec": round(mostly_asleep, 2),
+            "asleep_fraction": round(asleep_frac, 3)}
 
 
 def main():

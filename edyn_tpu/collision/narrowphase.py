@@ -27,6 +27,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core.state import KIND_STATIC
 from ..math import quat
 from ..shapes.params import ShapeType
 from .kernels import box_box, primitives
@@ -157,7 +158,17 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     ta = state.shape_type[man.body_a]
     tb = state.shape_type[man.body_b]
     cls, swap = classify(ta, tb)
-    cls = jnp.where(man.valid, cls, -1)
+    # sleeping pairs are skipped entirely (reference: sleeping_tag exclusion
+    # in the narrowphase view, island_manager.cpp:541-596): neither body
+    # moved, so merge_points' retention path keeps their points (distance
+    # refresh sees identical transforms) and impulses frozen. This also
+    # shrinks the live bucket counts that gate the chunked kernels below.
+    # a side is inactive when asleep OR static (an asleep box on a static
+    # plane is a sleeping manifold too); kinematic bodies stay active — their
+    # motion must re-detect contacts and wake neighbors
+    inactive = state.asleep | ((state.kind == KIND_STATIC) & state.valid)
+    frozen = inactive[man.body_a] & inactive[man.body_b]
+    cls = jnp.where(man.valid & ~frozen, cls, -1)
 
     # packed per-bucket results scatter into ONE [M,4,14] buffer (superset of
     # solver.pack_manifold_points: pivot_a 0:3 | pivot_b 3:6 | normal 6:9 |

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Settings
+from ..config import Settings, scalar_dtype
 from ..math import vec
 from ..simulation.stepper import SceneMeta, physics_step
 from .builder import WorldBuilder
@@ -134,7 +134,7 @@ class World:
         distribution)."""
         from ..math import quat as _q
         st = self.state
-        com = jnp.asarray(com, jnp.float32)
+        com = jnp.asarray(com, scalar_dtype())
         orn = st.orn[i]
         origin = st.pos[i] - _q.rotate(orn, st.com[i])
         com_w = origin + _q.rotate(orn, com)
@@ -155,14 +155,14 @@ class World:
         self.state = dataclasses.replace(
             self.state,
             roll_axis=self.state.roll_axis.at[i].set(
-                jnp.asarray(direction, jnp.float32)))
+                jnp.asarray(direction, scalar_dtype())))
         return self
 
     # -- mutators (reference: util/rigidbody.cpp apply impulses etc.) ---
     def apply_impulse(self, i, impulse, rel_location=(0.0, 0.0, 0.0)):
         """reference: rigidbody_apply_impulse (src/edyn/util/rigidbody.cpp)."""
-        imp = jnp.asarray(impulse, jnp.float32)
-        rel = jnp.asarray(rel_location, jnp.float32)
+        imp = jnp.asarray(impulse, scalar_dtype())
+        rel = jnp.asarray(rel_location, scalar_dtype())
         st = self.state
         linvel = st.linvel.at[i].add(st.mass_inv[i] * imp)
         Iw = st.inertia_world_inv()[i]
@@ -175,7 +175,7 @@ class World:
     def apply_torque_impulse(self, i, torque_impulse):
         st = self.state
         Iw = st.inertia_world_inv()[i]
-        angvel = st.angvel.at[i].add(Iw @ jnp.asarray(torque_impulse, jnp.float32))
+        angvel = st.angvel.at[i].add(Iw @ jnp.asarray(torque_impulse, scalar_dtype()))
         self.state = dataclasses.replace(st, angvel=angvel,
                                          asleep=st.asleep.at[i].set(False),
                                          sleep_timer=st.sleep_timer.at[i].set(0.0))
@@ -184,18 +184,18 @@ class World:
     def set_position(self, i, position, orientation=None):
         """Kinematic/teleport move (reference: update_kinematic_position)."""
         st = self.state
-        pos = st.pos.at[i].set(jnp.asarray(position, jnp.float32))
+        pos = st.pos.at[i].set(jnp.asarray(position, scalar_dtype()))
         orn = st.orn if orientation is None else st.orn.at[i].set(
-            jnp.asarray(orientation, jnp.float32))
+            jnp.asarray(orientation, scalar_dtype()))
         self.state = dataclasses.replace(st, pos=pos, orn=orn)
         return self
 
     def set_velocity(self, i, linvel=None, angvel=None):
         st = self.state
         lv = st.linvel if linvel is None else st.linvel.at[i].set(
-            jnp.asarray(linvel, jnp.float32))
+            jnp.asarray(linvel, scalar_dtype()))
         av = st.angvel if angvel is None else st.angvel.at[i].set(
-            jnp.asarray(angvel, jnp.float32))
+            jnp.asarray(angvel, scalar_dtype()))
         self.state = dataclasses.replace(
             st, linvel=lv, angvel=av,
             asleep=st.asleep.at[i].set(False),
@@ -241,9 +241,9 @@ class World:
             I = np.diag(moment_of_inertia(stype, params, mass))
             updates["mass_inv"] = st.mass_inv.at[i].set(1.0 / mass)
             updates["inertia_inv"] = st.inertia_inv.at[i].set(
-                jnp.asarray(np.linalg.inv(I), jnp.float32))
+                jnp.asarray(np.linalg.inv(I), scalar_dtype()))
             updates["gravity"] = st.gravity.at[i].set(
-                jnp.asarray(self.settings.gravity, jnp.float32))
+                jnp.asarray(self.settings.gravity, scalar_dtype()))
         else:
             updates["mass_inv"] = st.mass_inv.at[i].set(0.0)
             updates["inertia_inv"] = st.inertia_inv.at[i].set(jnp.zeros((3, 3)))
@@ -263,18 +263,18 @@ class World:
         updates = {
             "shape_type": st.shape_type.at[i].set(int(stype)),
             "shape_params": st.shape_params.at[i].set(
-                jnp.asarray(params, jnp.float32)),
+                jnp.asarray(params, scalar_dtype())),
             # reference keeps roll_direction in sync with the shape
             # (rigidbody_set_shape, rigidbody.cpp:450-466)
             "roll_axis": st.roll_axis.at[i].set(jnp.asarray(
-                shape_roll_direction(int(stype), params), jnp.float32)),
+                shape_roll_direction(int(stype), params), scalar_dtype())),
         }
         minv = float(st.mass_inv[i])
         if minv > 0:
             mass = 1.0 / minv
             I = np.diag(moment_of_inertia(int(stype), params, mass))
             updates["inertia_inv"] = st.inertia_inv.at[i].set(
-                jnp.asarray(np.linalg.inv(I), jnp.float32))
+                jnp.asarray(np.linalg.inv(I), scalar_dtype()))
         from .spawn import update_convex_row
         updates["convex"] = update_convex_row(st.convex, i, int(stype), params)
         # clear this body's manifolds — existing contact points are invalid
@@ -321,17 +321,22 @@ class World:
 
     def raycast(self, p0, p1):
         """Cast one ray or a batch (reference: edyn::raycast). Returns dict
-        with fraction/entity/normal (arrays for a batch, scalars for one)."""
+        with fraction/entity/normal plus feature detail (feature kind,
+        sub_index, compound child_index — raycast.FEAT_*); arrays for a
+        batch, scalars for one."""
         from ..collision.raycast import raycast as _raycast
-        p0 = np.atleast_2d(np.asarray(p0, np.float32))
-        p1 = np.atleast_2d(np.asarray(p1, np.float32))
+        p0 = np.atleast_2d(np.asarray(p0, scalar_dtype()))
+        p1 = np.atleast_2d(np.asarray(p1, scalar_dtype()))
         single = p0.shape[0] == 1
         out = _raycast(self.state, jnp.asarray(p0), jnp.asarray(p1))
         out = {k: np.asarray(v) for k, v in out.items()}
         if single:
             return {"fraction": float(out["fraction"][0]),
                     "entity": int(out["entity"][0]),
-                    "normal": out["normal"][0]}
+                    "normal": out["normal"][0],
+                    "feature": int(out["feature"][0]),
+                    "sub_index": int(out["sub_index"][0]),
+                    "child_index": int(out["child_index"][0])}
         return out
 
     def wake_set(self, indices):
@@ -342,6 +347,28 @@ class World:
         self.state = dataclasses.replace(
             st, asleep=st.asleep.at[idx].set(False),
             sleep_timer=st.sleep_timer.at[idx].set(0.0))
+        return self
+
+    def put_to_sleep(self, indices=None):
+        """Force bodies (default: every dynamic body) asleep NOW: velocities
+        zeroed, sleep timer saturated. The island update keeps them asleep
+        as long as their whole island stays quiet — same invariant the
+        reference's timer-driven sleep converges to (island_manager.cpp
+        put_islands_to_sleep); this is the fast-forward of it."""
+        from ..config import ISLAND_TIME_TO_SLEEP
+        st = self.state
+        if indices is None:
+            mask = st.is_dynamic
+        else:
+            mask = jnp.zeros((st.capacity,), bool).at[
+                jnp.asarray(sorted(indices), jnp.int32)].set(True)
+            mask = mask & st.is_dynamic
+        self.state = dataclasses.replace(
+            st,
+            asleep=jnp.where(mask, True, st.asleep),
+            sleep_timer=jnp.where(mask, ISLAND_TIME_TO_SLEEP, st.sleep_timer),
+            linvel=jnp.where(mask[:, None], 0.0, st.linvel),
+            angvel=jnp.where(mask[:, None], 0.0, st.angvel))
         return self
 
     def wake_up(self, i):

@@ -126,6 +126,8 @@ class ContactRows:
     row_slot: jnp.ndarray  # [R] int32
     base_dist: jnp.ndarray  # [R] step-start separation (position solver)
     dropped: jnp.ndarray   # [] int32 — live contacts beyond max_rows
+    count: jnp.ndarray     # [] int32 — live rows (rows sit in a compacted
+                           # prefix of this length; sleep gating slices it)
     # per-tri material scale is folded into friction/restitution already
 
 
@@ -219,10 +221,16 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
     M, P = man.point_valid.shape
     Rfull = M * P
 
-    # pair-level eligibility on [M] (body code packs has_material + asleep so
-    # both pair sides cost one tiny gather each)
+    # pair-level eligibility on [M] (body code packs has_material + inactive
+    # so both pair sides cost one tiny gather each). A side is inactive when
+    # asleep OR static: a sleeping manifold — including an asleep body
+    # resting on a static one — builds no rows at all (reference: sleeping
+    # islands are excluded from the solver, island_manager.cpp:541-596).
+    # Kinematic bodies stay active so their motion keeps solving contacts.
+    from ..core.state import KIND_STATIC
+    inactive = state.asleep | ((state.kind == KIND_STATIC) & state.valid)
     code = (state.has_material.astype(jnp.int32)
-            + state.asleep.astype(jnp.int32) * 2)
+            + inactive.astype(jnp.int32) * 2)
     ca = code[man.body_a]
     cb = code[man.body_b]
     elig = man.valid & ((ca & 1) > 0) & ((cb & 1) > 0) \
@@ -237,10 +245,13 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
         row_slot = jnp.where(slot_ok, row_slot, Rfull - 1).astype(jnp.int32)
         valid = valid0[row_slot] & slot_ok
         rows_dropped = jnp.maximum(cnt - R, 0)
+        live_count = jnp.minimum(cnt, R).astype(jnp.int32)
     else:
         row_slot = jnp.arange(Rfull, dtype=jnp.int32)
         valid = valid0
         rows_dropped = jnp.zeros((), jnp.int32)
+        # no compaction: live rows are scattered, the prefix slice is invalid
+        live_count = jnp.int32(Rfull)
 
     pair_idx = row_slot // P
     ab_pair = jnp.stack([man.body_a, man.body_b], axis=1)[pair_idx]  # [R,2]
@@ -411,7 +422,35 @@ def build_contact_rows(state, man, dt: float, use_restitution_solver: bool,
                        rhs_spin=rhs_spin, rhs_roll1=rhs_roll1,
                        rhs_roll2=rhs_roll2, roll_t1=roll_t1, roll_t2=roll_t2,
                        rA=rA, rB=rB,
-                       dropped=rows_dropped)
+                       dropped=rows_dropped, count=live_count)
+
+
+def rows_prefix(rows: ContactRows, Rs: int) -> ContactRows:
+    """First Rs rows of a compacted row table (valid rows live in a prefix;
+    callers must guarantee rows.count <= Rs). Used by the sleep-gating
+    lax.cond in the stepper: a mostly-asleep world solves a narrow table."""
+    R = rows.valid.shape[0]
+    assert Rs <= R
+
+    def cut(x):
+        if x is None or getattr(x, "ndim", 0) == 0:
+            return x
+        return x[:Rs]
+
+    def cut_dir(rd: RowDir) -> RowDir:
+        return RowDir(*(cut(getattr(rd, f.name))
+                        for f in dataclasses.fields(RowDir)))
+
+    kw = {}
+    for f in dataclasses.fields(ContactRows):
+        v = getattr(rows, f.name)
+        if f.name == "ab":
+            kw[f.name] = jnp.concatenate([rows.a[:Rs], rows.b[:Rs]])
+        elif isinstance(v, RowDir):
+            kw[f.name] = cut_dir(v)
+        else:
+            kw[f.name] = cut(v)
+    return ContactRows(**kw)
 
 
 def refresh_contact_rhs(rows: ContactRows, state, man, dt: float,

@@ -65,6 +65,10 @@ class SceneMeta:
     # unified-bucket Pallas mega-kernel: None = auto (on for TPU backends,
     # off for CPU), True/False = force
     pallas_narrowphase: object = None
+    # sleep/width gating: when the live compacted row count fits in a
+    # 1/16-width prefix, the whole solve phase runs on that slice under
+    # lax.cond (mostly-asleep worlds stop paying full solver width)
+    sleep_gating: bool = True
     # optional custom pair filter fn(state, i_idx, j_idx) -> bool mask,
     # applied on top of the default filters (reference:
     # settings.should_collide_func, context/settings.hpp:43). Must be a
@@ -118,47 +122,14 @@ def integrate_velocities(state, dv, dw, dt: float):
                                orn=orn)
 
 
-def physics_step_impl(state, settings: Settings, meta: SceneMeta):
-    """One fixed-dt step of the whole world (unjitted; see physics_step)."""
+def _solve_phase(state, man, rows, settings: Settings, meta: SceneMeta,
+                 use_rest: bool):
+    """Everything row-dependent between narrowphase and the step epilogue:
+    restitution pre-pass -> gravity -> rhs refresh -> joint rows -> warm
+    start -> velocity iterations -> impulse writeback -> integrate -> NGS.
+    Called under the sleep-gating lax.cond with either the full or a
+    prefix-sliced contact row table (see physics_step_impl)."""
     dt = settings.fixed_dt
-
-    # --- AABBs (reference: sys/update_aabbs) ---
-    amin, amax = compute_aabbs(state.shape_type, state.shape_params,
-                               state.origin_pos(), state.orn, state.poly,
-                               state.shape_index, state.mesh, state.convex)
-    state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax)
-
-    # --- broadphase ---
-    from ..collision.broadphase import DENSE_LIMIT, find_pairs_sweep
-    mode = meta.broadphase_mode
-    if mode == "auto":
-        mode = "dense" if state.capacity <= DENSE_LIMIT else "sweep"
-    if mode == "sweep":
-        keys, pa, pb, pvalid, bp_dropped, bp_alarms = find_pairs_sweep(
-            state, meta.max_pairs, meta.sweep_window, meta.wide_cap,
-            meta.should_collide_fn)
-    else:
-        keys, pa, pb, pvalid, bp_dropped = find_pairs(
-            state, meta.max_pairs, meta.broadphase_block,
-            meta.should_collide_fn)
-        bp_alarms = jnp.zeros((), jnp.int32)
-
-    # --- manifold persistence + narrowphase ---
-    man = carry_over(state.contacts, keys, pa, pb, pvalid)
-    man, np_dropped = update_contacts(state, man, settings.collision_threshold,
-                                      meta.types_present, meta.bucket_cap, dt,
-                                      pallas_mode=meta.pallas_narrowphase)
-    state = dataclasses.replace(state, contacts=man)
-
-    # --- islands & sleeping ---
-    state = islands_mod.update_sleep(state, man, dt, settings.enable_sleeping,
-                                     meta.island_iters)
-
-    use_rest = settings.num_restitution_iterations > 0
-    rows = solver_mod.build_contact_rows(state, man, dt, use_rest,
-                                         settings.mass_splitting,
-                                         meta.has_spin_roll, meta.max_rows)
-    rows = _shard_rows(rows, meta)
 
     # --- restitution pre-pass (before gravity; reference solver.cpp:387-400) ---
     if use_rest:
@@ -231,6 +202,72 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     if meta.has_joints:
         state = joints_mod.solve_joint_positions(
             state, settings.num_solver_position_iterations)
+    return state
+
+
+def physics_step_impl(state, settings: Settings, meta: SceneMeta):
+    """One fixed-dt step of the whole world (unjitted; see physics_step)."""
+    dt = settings.fixed_dt
+
+    # --- AABBs (reference: sys/update_aabbs) ---
+    amin, amax = compute_aabbs(state.shape_type, state.shape_params,
+                               state.origin_pos(), state.orn, state.poly,
+                               state.shape_index, state.mesh, state.convex)
+    state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax)
+
+    # --- broadphase ---
+    from ..collision.broadphase import DENSE_LIMIT, find_pairs_sweep
+    mode = meta.broadphase_mode
+    if mode == "auto":
+        mode = "dense" if state.capacity <= DENSE_LIMIT else "sweep"
+    if mode == "sweep":
+        keys, pa, pb, pvalid, bp_dropped, bp_alarms = find_pairs_sweep(
+            state, meta.max_pairs, meta.sweep_window, meta.wide_cap,
+            meta.should_collide_fn)
+    else:
+        keys, pa, pb, pvalid, bp_dropped = find_pairs(
+            state, meta.max_pairs, meta.broadphase_block,
+            meta.should_collide_fn)
+        bp_alarms = jnp.zeros((), jnp.int32)
+
+    # --- manifold persistence + narrowphase ---
+    man = carry_over(state.contacts, keys, pa, pb, pvalid)
+    man, np_dropped = update_contacts(state, man, settings.collision_threshold,
+                                      meta.types_present, meta.bucket_cap, dt,
+                                      pallas_mode=meta.pallas_narrowphase)
+    state = dataclasses.replace(state, contacts=man)
+
+    # --- islands & sleeping ---
+    state = islands_mod.update_sleep(state, man, dt, settings.enable_sleeping,
+                                     meta.island_iters)
+
+    use_rest = settings.num_restitution_iterations > 0
+    rows = solver_mod.build_contact_rows(state, man, dt, use_rest,
+                                         settings.mass_splitting,
+                                         meta.has_spin_roll, meta.max_rows)
+    rows = _shard_rows(rows, meta)
+
+    # --- solve phase, width-gated on the live row count (sleep gating) ---
+    # Rows are compacted into a prefix, so when few contacts are live (a
+    # mostly-asleep world, or a pile still falling) the ENTIRE solve phase —
+    # restitution pre-pass, warm start, velocity iterations, impulse
+    # writeback, NGS — runs on a 1/16-width slice under lax.cond, the
+    # reference's "sleeping islands cost nothing" property
+    # (island_manager.cpp:541-596) in batched form. Numerics are identical:
+    # the live rows are the same rows, padding contributes zeros either way.
+    Rfull = rows.valid.shape[0]
+    Rs = max(1024, -(-(Rfull // 16) // 256) * 256)
+    gate = (meta.sleep_gating and meta.max_rows is not None
+            and meta.shard_mesh is None and Rs < Rfull)
+    if gate:
+        state = jax.lax.cond(
+            rows.count <= Rs,
+            lambda st: _solve_phase(st, man, solver_mod.rows_prefix(rows, Rs),
+                                    settings, meta, use_rest),
+            lambda st: _solve_phase(st, man, rows, settings, meta, use_rest),
+            state)
+    else:
+        state = _solve_phase(state, man, rows, settings, meta, use_rest)
 
     return dataclasses.replace(
         state,

@@ -215,3 +215,59 @@ def test_soft_contact_sinks_and_springs():
     pen_expected = 10.0 * 9.8 / 4000.0
     assert 0.2 - y == pytest.approx(pen_expected, abs=0.01), (0.2 - y, pen_expected)
     assert abs(float(w.linvel(box)[1])) < 0.05
+
+
+def test_sleep_gating_equivalence_and_wake():
+    """The sleep-gated solve (stepper: lax.cond onto a 1/16-width row
+    prefix) must be numerically equivalent to the ungated full-width solve,
+    including EXACT equality of the asleep/wake flags, through a
+    sleep -> impact -> wake cycle (reference invariant: excluding sleeping
+    islands from the solver does not change behavior,
+    island_manager.cpp:541-596)."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    def build():
+        b = et.WorldBuilder()
+        b.make_rigidbody(et.RigidBodyDef(
+            kind=et.KIND_STATIC, shape=et.PlaneShape((0, 1, 0), 0.0),
+            material=et.Material(friction=0.6)))
+        ids = []
+        for i in range(24):
+            ids.append(b.make_rigidbody(et.RigidBodyDef(
+                mass=1.0, shape=et.BoxShape((0.2, 0.2, 0.2)),
+                position=((i % 5) * 0.9 - 2.0, 0.2 + 0.45 * (i // 5),
+                          (i % 3) * 0.9 - 0.9),
+                material=et.Material(friction=0.6, restitution=0.0))))
+        # the dropper: starts high, lands after the pile is asleep
+        # falls ~265 steps: the pile has settled AND slept (quiet + 2 s,
+        # measured: all asleep by step 210) before impact
+        drop = b.make_rigidbody(et.RigidBodyDef(
+            mass=1.0, shape=et.SphereShape(0.2), position=(-2.0, 90.0, -0.9),
+            material=et.Material(friction=0.6, restitution=0.0),
+            sleeping_disabled=True))
+        # max_pairs high enough that Rfull > 1024 and the gate is active
+        w = et.make_world(b, max_pairs=2048, max_manifolds=2048)
+        return w, ids, drop
+
+    w_g, ids, drop = build()
+    assert w_g.meta.sleep_gating
+    w_u, _, _ = build()
+    w_u.meta = dataclasses.replace(w_u.meta, sleep_gating=False)
+
+    for w in (w_g, w_u):
+        w.step(240)  # settle + 2 s quiet -> pile sleeps; sphere still falls
+    assert all(w_g.is_asleep(i) for i in ids)
+    assert all(w_u.is_asleep(i) for i in ids)
+
+    for w in (w_g, w_u):
+        w.step(60)  # sphere lands on the corner column -> its island wakes
+
+    np.testing.assert_array_equal(np.asarray(w_g.state.asleep),
+                                  np.asarray(w_u.state.asleep))
+    np.testing.assert_allclose(np.asarray(w_g.state.pos),
+                               np.asarray(w_u.state.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_g.state.linvel),
+                               np.asarray(w_u.state.linvel), atol=1e-4)
+    # the impact actually woke the pile through the gated path
+    assert not w_g.is_asleep(ids[0])
