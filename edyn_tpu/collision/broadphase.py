@@ -30,7 +30,7 @@ from ..core.state import KIND_DYNAMIC
 # collision with INVALID_KEY (max real key at N=65536 is 65534*65536+65535
 # < 2^32-1); int32 overflowed at N > 46340. int64 is not an option under
 # JAX's default x64-disabled config (it silently truncates).
-INVALID_KEY = jnp.uint32(jnp.iinfo(jnp.uint32).max)
+INVALID_KEY = np.uint32(np.iinfo(np.uint32).max)  # host scalar: importing must not init a backend
 MAX_BODIES_FOR_KEYS = 65536
 DENSE_LIMIT = 12_000  # N above which the blocked path kicks in
 

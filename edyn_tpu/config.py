@@ -32,6 +32,18 @@ GRAVITY_EARTH = (0.0, -9.8, 0.0)  # reference: include/edyn/math/constants.hpp
 LARGE_SCALAR = 1e9  # stiffness above this => rigid contact
 
 
+def scalar_dtype():
+    """The engine's scalar dtype — the JAX-native analogue of the reference's
+    EDYN_DOUBLE_PRECISION compile switch (include/edyn/math/scalar.hpp:9-15):
+    float64 when ``jax_enable_x64`` is set (set it BEFORE building a world),
+    float32 otherwise. State construction and host->device casts route
+    through this so one flag flips the whole pipeline."""
+    import jax
+
+    import numpy as np
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
 @dataclasses.dataclass(frozen=True)
 class Settings:
     """Runtime settings (reference: include/edyn/context/settings.hpp:21-58).

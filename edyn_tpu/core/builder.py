@@ -13,6 +13,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import scalar_dtype
 from ..shapes.params import (
     ShapeType, SphereShape, BoxShape, CapsuleShape, CylinderShape, PlaneShape,
     PolyhedronShape, CompoundShape, MeshShape, pack_polyhedra,
@@ -96,7 +97,7 @@ class WorldBuilder:
         if name in COMPONENT_COLUMNS:
             raise ValueError(f"{name!r} is a built-in component")
         self.user_components[name] = (tuple(shape),
-                                      dtype or jnp.float32, default)
+                                      dtype or scalar_dtype(), default)
         if replicate is not None:
             self.user_component_policies[name] = replicate
 
@@ -158,7 +159,7 @@ class WorldBuilder:
         ) if poly_np.verts.shape[0] else PolyTable.empty()
 
         # host staging
-        f = np.float32
+        f = scalar_dtype()
         pos = np.zeros((N, 3), f)
         orn = np.zeros((N, 4), f); orn[:, 3] = 1
         linvel = np.zeros((N, 3), f)
@@ -318,12 +319,12 @@ class WorldBuilder:
             CH = max(len(r) for r in comp_rows)
             NC = len(self._compounds)
             c_row = np.full((NC, CH), -1, np.int32)
-            c_pos = np.zeros((NC, CH, 3), np.float32)
-            c_orn = np.zeros((NC, CH, 4), np.float32)
+            c_pos = np.zeros((NC, CH, 3), scalar_dtype())
+            c_orn = np.zeros((NC, CH, 4), scalar_dtype())
             c_orn[..., 3] = 1
             c_mask = np.zeros((NC, CH), bool)
             c_type = np.zeros((NC, CH), np.int32)
-            c_prm = np.zeros((NC, CH, 4), np.float32)
+            c_prm = np.zeros((NC, CH, 4), scalar_dtype())
             for ci, (comp, rows_i) in enumerate(zip(self._compounds, comp_rows)):
                 for k, ((shape, lpos, lorn), row) in enumerate(
                         zip(comp.children, rows_i)):
@@ -386,7 +387,7 @@ class WorldBuilder:
                            np.int32)
             vals = np.array([[m.restitution, m.friction, m.spin_friction,
                               m.roll_friction, m.stiffness, m.damping]
-                             for _, _, m in self.material_mixes], np.float32)
+                             for _, _, m in self.material_mixes], scalar_dtype())
             ws = dataclasses.replace(ws, mix_table=MixTable(
                 ids=jnp.asarray(ids), vals=jnp.asarray(vals)))
         # initial AABBs so raycast/query_aabb work before the first step

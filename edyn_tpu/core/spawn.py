@@ -14,6 +14,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import scalar_dtype
 from ..shapes.params import PolyhedronShape, ShapeType, shape_roll_direction
 from ..shapes.inertia import moment_of_inertia, polyhedron_inertia
 from .builder import RigidBodyDef
@@ -96,14 +97,14 @@ def spawn_rigidbody(state: WorldState, d: RigidBodyDef, slot: int | None = None,
         st,
         valid=set_("valid", True),
         kind=set_("kind", d.kind),
-        pos=set_("pos", jnp.asarray(pos_w, jnp.float32)),
-        com=set_("com", jnp.asarray(com, jnp.float32)),
-        orn=set_("orn", jnp.asarray(orn, jnp.float32)),
-        linvel=set_("linvel", jnp.asarray(linvel, jnp.float32)),
-        angvel=set_("angvel", jnp.asarray(d.angvel, jnp.float32)),
+        pos=set_("pos", jnp.asarray(pos_w, scalar_dtype())),
+        com=set_("com", jnp.asarray(com, scalar_dtype())),
+        orn=set_("orn", jnp.asarray(orn, scalar_dtype())),
+        linvel=set_("linvel", jnp.asarray(linvel, scalar_dtype())),
+        angvel=set_("angvel", jnp.asarray(d.angvel, scalar_dtype())),
         mass_inv=set_("mass_inv", mass_inv),
-        inertia_inv=set_("inertia_inv", jnp.asarray(inertia_inv, jnp.float32)),
-        gravity=set_("gravity", jnp.asarray(grav, jnp.float32)),
+        inertia_inv=set_("inertia_inv", jnp.asarray(inertia_inv, scalar_dtype())),
+        gravity=set_("gravity", jnp.asarray(grav, scalar_dtype())),
         restitution=set_("restitution", m.restitution if m else 0.0),
         friction=set_("friction", m.friction if m else 0.5),
         spin_friction=set_("spin_friction", m.spin_friction if m else 0.0),
@@ -115,10 +116,10 @@ def spawn_rigidbody(state: WorldState, d: RigidBodyDef, slot: int | None = None,
         group=set_("group", jnp.uint32(d.collision_group)),
         mask=set_("mask", jnp.uint32(d.collision_mask)),
         shape_type=set_("shape_type", int(stype)),
-        shape_params=set_("shape_params", jnp.asarray(sparams, jnp.float32)),
+        shape_params=set_("shape_params", jnp.asarray(sparams, scalar_dtype())),
         shape_index=set_("shape_index", sindex),
         roll_axis=set_("roll_axis", jnp.asarray(
-            shape_roll_direction(int(stype), sparams), jnp.float32)),
+            shape_roll_direction(int(stype), sparams), scalar_dtype())),
         sleeping_disabled=set_("sleeping_disabled", d.sleeping_disabled),
         networked=set_("networked", d.networked),
         asleep=set_("asleep", False),
@@ -151,17 +152,17 @@ def update_convex_row(cx, i: int, stype: int, sparams, data=None):
     assert len(v) <= V and len(f) <= F and len(e) <= E, \
         "spawned shape exceeds the world's convex table widths — " \
         "build the world with at least one shape of this complexity"
-    pad_v = np.zeros((V, 3), np.float32)
+    pad_v = np.zeros((V, 3), scalar_dtype())
     pad_v[:len(v)] = v
     if len(v):
         pad_v[len(v):] = v[0]
     vm = np.zeros((V,), bool)
     vm[:len(v)] = True
-    pad_f = np.zeros((F, 3), np.float32)
+    pad_f = np.zeros((F, 3), scalar_dtype())
     pad_f[:len(f)] = f
     fm = np.zeros((F,), bool)
     fm[:len(f)] = True
-    pad_e = np.zeros((E, 3), np.float32)
+    pad_e = np.zeros((E, 3), scalar_dtype())
     pad_e[:len(e)] = e
     em = np.zeros((E,), bool)
     em[:len(e)] = True
@@ -175,7 +176,7 @@ def update_convex_row(cx, i: int, stype: int, sparams, data=None):
         edge_dirs=cx.edge_dirs.at[i].set(jnp.asarray(pad_e)),
         edge_mask=cx.edge_mask.at[i].set(jnp.asarray(em)),
         disc_r=cx.disc_r.at[i].set(float(dr)),
-        disc_axis=cx.disc_axis.at[i].set(jnp.asarray(da, jnp.float32)))
+        disc_axis=cx.disc_axis.at[i].set(jnp.asarray(da, scalar_dtype())))
 
 
 def destroy_rigidbody(state: WorldState, i: int) -> WorldState:
