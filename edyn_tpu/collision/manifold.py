@@ -28,10 +28,14 @@ from ..core.state import ContactTable
 from .broadphase import INVALID_KEY
 
 
-def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid) -> ContactTable:
+def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid):
     """Build this step's manifold table in broadphase-pair order, gathering
     persistent state (points, impulses, lifetimes) from the previous table for
-    pairs that already existed.
+    pairs that already existed. Returns ``(table, dropped)`` where ``dropped``
+    marks OLD manifolds claimed by no new pair (AABBs separated) — the
+    stepper wakes their islands, the analogue of the reference waking an
+    island when a graph edge is destroyed (island_manager.cpp:74-98
+    on_destroy_island_resident -> m_islands_to_wake_up).
 
     Dispatch design: the key match uses the unrolled k-ary search (one gather
     per round instead of jnp.searchsorted's ~log2(M)-dispatch while-loop),
@@ -42,6 +46,9 @@ def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid) -> ContactTa
     idx = kary_searchsorted(old.key, keys, side="left", k=16)
     idx = jnp.clip(idx, 0, old.key.shape[0] - 1)
     matched = (old.key[idx] == keys) & pair_valid & old.valid[idx]
+    claimed = jnp.zeros_like(old.valid).at[
+        jnp.where(matched, idx, 0)].max(matched)
+    dropped = old.valid & ~claimed
 
     f = lambda x: x.astype(jnp.float32)[..., None]
     pk = jnp.concatenate([
@@ -72,7 +79,7 @@ def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid) -> ContactTa
         roll_impulse=g[..., 16:18],
         friction_scale=g[..., 19],
         restitution_scale=g[..., 20],
-    )
+    ), dropped
 
 
 def _manifold_score(p0, p1, p2, p3):

@@ -115,11 +115,16 @@ def exact_island_mask(state, seeds) -> "jnp.ndarray":
     return jnp.asarray(mask)
 
 
-def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 4):
+def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 4,
+                 wake_bodies=None):
     """Recompute island labels, advance sleep timers, and derive the asleep
     mask. Sleeping bodies' velocities are zeroed (the reference removes them
     from every system via sleeping_tag view exclusion; here the mask gates the
-    solver and integration)."""
+    solver and integration).
+
+    ``wake_bodies`` is an optional [N] bool mask of bodies whose island must
+    be forced awake this step (a contact-graph edge involving them was
+    destroyed — reference island_manager.cpp:74-98 wake-on-edge-destroy)."""
     labels = compute_islands(state, man, num_iters)
     if not enable:
         return dataclasses.replace(
@@ -148,6 +153,10 @@ def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 4):
     evv = jnp.concatenate([ev, ev])
     wake = evv & kin_moving[e_this] & dyn[e_other]
     island_ok = island_ok.at[jnp.where(wake, labels[e_other], 0)].min(~wake)
+    if wake_bodies is not None:
+        # destroyed-edge wake: the whole island of each flagged body
+        force = wake_bodies & dyn
+        island_ok = island_ok.at[jnp.where(force, labels, 0)].min(~force)
 
     my_ok = island_ok[labels] & dyn
     timer = jnp.where(my_ok, state.sleep_timer + dt, 0.0)

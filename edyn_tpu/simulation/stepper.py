@@ -231,7 +231,15 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
         bp_alarms = jnp.zeros((), jnp.int32)
 
     # --- manifold persistence + narrowphase ---
-    man = carry_over(state.contacts, keys, pa, pb, pvalid)
+    man, edge_dropped = carry_over(state.contacts, keys, pa, pb, pvalid)
+    # bodies whose manifold was destroyed this step must wake (reference:
+    # island_manager.cpp:74-98 wakes an island when a graph edge dies, e.g.
+    # the body underneath a sleeping stack is destroyed or drifts away)
+    old = state.contacts
+    wake_bodies = (
+        jnp.zeros((state.capacity,), bool)
+        .at[jnp.where(edge_dropped, old.body_a, 0)].max(edge_dropped)
+        .at[jnp.where(edge_dropped, old.body_b, 0)].max(edge_dropped))
     man, np_dropped = update_contacts(state, man, settings.collision_threshold,
                                       meta.types_present, meta.bucket_cap, dt,
                                       pallas_mode=meta.pallas_narrowphase)
@@ -239,7 +247,7 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
 
     # --- islands & sleeping ---
     state = islands_mod.update_sleep(state, man, dt, settings.enable_sleeping,
-                                     meta.island_iters)
+                                     meta.island_iters, wake_bodies=wake_bodies)
 
     use_rest = settings.num_restitution_iterations > 0
     rows = solver_mod.build_contact_rows(state, man, dt, use_rest,

@@ -110,8 +110,8 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
         keys, pa, pb, pv, _ = timed(
             "broadphase", lambda s: find_pairs(s, meta.max_pairs,
                                                meta.broadphase_block), st)
-    man = timed("manifold_carry", jax.jit(carry_over), st.contacts, keys, pa,
-                pb, pv)
+    man, _edge_drop = timed("manifold_carry", jax.jit(carry_over), st.contacts,
+                            keys, pa, pb, pv)
     man, _np_drop = timed("narrowphase", jax.jit(
         lambda s, m: update_contacts(s, m, S.collision_threshold,
                                      meta.types_present, meta.bucket_cap)),

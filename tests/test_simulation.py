@@ -81,6 +81,26 @@ def test_wake_up_whole_island_despite_fragmented_labels():
     assert w.is_asleep(lone), "wake_up leaked outside the island"
 
 
+def test_destroyed_support_wakes_sleeping_stack():
+    """Destroying the body beneath a sleeping stack must wake the survivors
+    (reference: island_manager.cpp:74-98 — destroying a graph node/edge wakes
+    the island). Here the destroyed body's manifolds vanish from broadphase,
+    carry_over reports them dropped, and update_sleep force-wakes the
+    endpoints' islands."""
+    b, ids = scenes.box_stack(2)
+    w = et.make_world(b)
+    settle(w, 90)                      # contacts formed, stack at rest
+    w.put_to_sleep()
+    w.step(2)
+    assert all(w.is_asleep(i) for i in ids)
+    top = ids[1]
+    y0 = float(w.position(top)[1])
+    w.destroy(ids[0])
+    w.step(30)
+    assert not w.is_asleep(top), "manifold-drop wake did not fire"
+    assert float(w.position(top)[1]) < y0 - 0.02, "top box did not fall"
+
+
 def test_posed_plane_broadphase():
     """A plane body with a non-identity POSITION must still pair in
     broadphase (regression: plane_clip once used the object-space plane
