@@ -16,6 +16,7 @@ from .core.world import World, derive_meta, make_world
 from .shapes import (
     BoxShape, CapsuleShape, CompoundShape, CylinderShape, MeshShape,
     PagedMeshShape, PlaneShape, PolyhedronShape, SphereShape,
+    mesh_centroid, shape_volume,
 )
 from .constraints.api import (
     dof, make_cone_constraint, make_cvjoint_constraint, make_distance_constraint,
@@ -36,4 +37,5 @@ __all__ = [
     "make_point_constraint", "make_hinge_constraint", "make_cone_constraint",
     "make_generic_constraint", "make_cvjoint_constraint", "dof",
     "make_gravity_constraint", "make_null_constraint",
+    "shape_volume", "mesh_centroid",
 ]

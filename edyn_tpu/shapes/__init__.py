@@ -14,10 +14,11 @@ from .params import (
 )
 from .aabb import compute_aabbs
 from .inertia import moment_of_inertia
+from .volume import mesh_centroid, shape_volume
 
 __all__ = [
     "SphereShape", "BoxShape", "CapsuleShape", "CylinderShape", "PlaneShape",
     "PolyhedronShape", "CompoundShape", "MeshShape", "PagedMeshShape",
     "ShapeType", "PolyhedronTable", "CompoundTable", "pack_polyhedra",
-    "compute_aabbs", "moment_of_inertia",
+    "compute_aabbs", "moment_of_inertia", "shape_volume", "mesh_centroid",
 ]
