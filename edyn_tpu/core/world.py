@@ -18,7 +18,7 @@ from ..config import Settings, scalar_dtype
 from ..math import vec
 from ..simulation.stepper import SceneMeta, physics_step
 from .builder import WorldBuilder
-from .state import WorldState
+from .state import KIND_DYNAMIC, WorldState
 
 
 def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
@@ -201,6 +201,108 @@ class World:
             asleep=st.asleep.at[i].set(False),
             sleep_timer=st.sleep_timer.at[i].set(0.0))
         return self
+
+    def set_mass(self, i, mass: float):
+        """reference: set_rigidbody_mass (util/rigidbody.hpp:149,
+        rigidbody.cpp:300-305) — replaces mass only; the inertia tensor is
+        deliberately untouched (call set_inertia for that), matching the
+        reference exactly."""
+        assert mass > 0, "mass must be positive"
+        st = self.state
+        self.state = dataclasses.replace(
+            st, mass_inv=st.mass_inv.at[i].set(1.0 / mass))
+        return self
+
+    def set_inertia(self, i, inertia):
+        """reference: set_rigidbody_inertia (rigidbody.cpp:307-312). Takes
+        the local-space 3x3 inertia tensor (or a diagonal [3])."""
+        I = np.asarray(inertia, np.float64)
+        if I.ndim == 1:
+            I = np.diag(I)
+        st = self.state
+        self.state = dataclasses.replace(
+            st, inertia_inv=st.inertia_inv.at[i].set(
+                jnp.asarray(np.linalg.inv(I), scalar_dtype())))
+        return self
+
+    def set_friction(self, i, friction: float):
+        """reference: set_rigidbody_friction (rigidbody.cpp:314-345). The
+        reference patches live manifolds by hand; here contact rows re-mix
+        body materials every step (dynamics/solver.py material mixing), so
+        updating the body column updates existing contacts on the next
+        step."""
+        st = self.state
+        self.state = dataclasses.replace(
+            st, friction=st.friction.at[i].set(friction))
+        return self
+
+    def get_gravity(self, i=None):
+        """Per-body gravity, or the world default when i is None (reference:
+        get_gravity, util/gravity_util.hpp:15)."""
+        if i is None:
+            return np.asarray(self.settings.gravity)
+        return np.asarray(self.state.gravity[i])
+
+    def set_gravity(self, g, i=None):
+        """Set one body's gravity, or — like the reference's set_gravity
+        (util/gravity_util.hpp:23, src/edyn/util/gravity_util.cpp) — update
+        the world default AND every dynamic body currently on it."""
+        st = self.state
+        g = jnp.asarray(g, scalar_dtype())
+        if i is not None:
+            self.state = dataclasses.replace(st, gravity=st.gravity.at[i].set(g))
+            return self
+        old = jnp.asarray(self.settings.gravity, scalar_dtype())
+        on_default = (st.kind == KIND_DYNAMIC) & jnp.all(
+            st.gravity == old[None, :], axis=-1)
+        self.settings = dataclasses.replace(
+            self.settings, gravity=tuple(float(x) for x in np.asarray(g)))
+        self.state = dataclasses.replace(
+            st, gravity=jnp.where(on_default[:, None], g[None, :], st.gravity))
+        return self
+
+    def manifold_between(self, a, b) -> dict | None:
+        """Contact manifold between two bodies, or None (reference:
+        manifold_exists/get_manifold_entity, util/contact_manifold_util.hpp:19-35,
+        + contact_manifold_each_point). Returns point positions, normals,
+        separations, and accumulated impulses for the live points. The
+        normal points towards body_a (reference convention,
+        collision_result.hpp:26), where body_a is the lower body index."""
+        st = self.state
+        man = st.contacts
+        lo, hi = (a, b) if a < b else (b, a)
+        key = np.uint64(lo) * np.uint64(st.capacity) + np.uint64(hi)
+        keys = np.asarray(man.key).astype(np.uint64)
+        idx = int(np.searchsorted(keys, key))
+        if idx >= keys.shape[0] or keys[idx] != key \
+                or not bool(np.asarray(man.valid)[idx]):
+            return None
+        pv = np.asarray(man.point_valid[idx])
+        if not pv.any():
+            return None
+        from ..math import quat as quat_mod
+        ppos = np.asarray(st.origin_pos()[man.body_a[idx]]) + np.asarray(
+            quat_mod.rotate(st.orn[man.body_a[idx]], man.pivot_a[idx]))
+        # attachment: 0 = world-space normal, 1 = rotates with A, 2 = with B
+        # (same decode as dynamics/solver.py:283-284)
+        att = man.normal_attachment[idx][:, None]
+        ln = man.local_normal[idx]
+        nrm = np.asarray(jnp.where(
+            att == 1, quat_mod.rotate(st.orn[man.body_a[idx]], ln),
+            jnp.where(att == 2, quat_mod.rotate(st.orn[man.body_b[idx]], ln),
+                      ln)))
+        return {"body_a": int(man.body_a[idx]), "body_b": int(man.body_b[idx]),
+                "num_points": int(pv.sum()),
+                "point_valid": pv,
+                "position": ppos,
+                "normal": nrm,
+                "distance": np.asarray(man.distance[idx]),
+                "normal_impulse": np.asarray(man.normal_impulse[idx]),
+                "friction_impulse": np.asarray(man.friction_impulse[idx])}
+
+    def manifold_exists(self, a, b) -> bool:
+        """reference: manifold_exists (util/contact_manifold_util.hpp:19)."""
+        return self.manifold_between(a, b) is not None
 
     def step_with_events(self, n: int = 1):
         """Step and collect contact started/ended pairs (reference: the

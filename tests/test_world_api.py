@@ -20,6 +20,62 @@ def test_change_kind_dynamic_to_static_and_back():
     assert float(w.position(box)[1]) < y0 - 0.05, "dynamic body didn't fall"
 
 
+def test_gravity_api():
+    """reference: get_gravity/set_gravity (util/gravity_util.hpp) — the
+    global setter retargets every dynamic body still on the default."""
+    b = et.WorldBuilder()
+    ball = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.1), position=(0, 100, 0),
+        sleeping_disabled=True))
+    custom = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.1), position=(5, 100, 0),
+        gravity=(0.0, -1.0, 0.0), sleeping_disabled=True))
+    w = et.make_world(b)
+    assert np.allclose(w.get_gravity(), (0, -9.8, 0))
+    w.set_gravity((0.0, -2.0, 0.0))
+    assert np.allclose(w.get_gravity(), (0, -2.0, 0))
+    assert np.allclose(w.get_gravity(ball), (0, -2.0, 0))
+    # a body with explicit per-body gravity keeps it
+    assert np.allclose(w.get_gravity(custom), (0, -1.0, 0))
+    w.step(60)
+    dt = w.settings.fixed_dt
+    assert abs(float(w.linvel(ball)[1]) + 2.0 * 60 * dt) < 1e-3
+    assert abs(float(w.linvel(custom)[1]) + 1.0 * 60 * dt) < 1e-3
+
+
+def test_mass_inertia_friction_setters():
+    """reference: set_rigidbody_mass/inertia/friction (rigidbody.cpp:300-345).
+    set_mass replaces mass only (inertia untouched, like the reference)."""
+    b, box = hello_world()
+    w = et.make_world(b)
+    w.set_mass(box, 2.0)
+    w.apply_impulse(box, (2.0, 0.0, 0.0))
+    assert abs(float(w.linvel(box)[0]) - 1.0) < 1e-6
+    w.set_inertia(box, (2.0, 2.0, 2.0))       # diagonal form
+    w.apply_torque_impulse(box, (0.0, 4.0, 0.0))
+    assert abs(float(w.angvel(box)[1]) - 2.0) < 1e-6
+    w.set_friction(box, 0.123)
+    assert abs(float(w.state.friction[box]) - 0.123) < 1e-6
+
+
+def test_manifold_between():
+    """reference: manifold_exists/get_manifold_entity + point iteration
+    (util/contact_manifold_util.hpp:19-66)."""
+    b, box = hello_world()
+    w = et.make_world(b)
+    w.step(1)
+    assert not w.manifold_exists(0, box)   # still airborne
+    w.step(239)
+    m = w.manifold_between(0, box)
+    assert m is not None and w.manifold_exists(box, 0)  # order-insensitive
+    assert m["num_points"] >= 1
+    live = m["point_valid"]
+    # normal points towards body_a = the plane (collision_result.hpp:26)
+    assert np.allclose(m["normal"][live], (0, -1, 0), atol=0.05)
+    assert np.all(np.abs(m["position"][live][:, 1]) < 0.05)  # on the plane
+    assert np.all(m["normal_impulse"][live] >= 0)
+
+
 def test_set_shape():
     b, box = hello_world()
     w = et.make_world(b)
