@@ -57,6 +57,12 @@ class NetworkClient:
     def register_asset(self, asset_id: int, def_: RigidBodyDef):
         self.assets[asset_id] = def_to_dict(def_)
 
+    def set_aabb_of_interest(self, lo, hi):
+        """Replace this client's server-side interest box (reference:
+        packet/set_aabb_of_interest.hpp)."""
+        self.send(pk.SetAabbOfInterest(lo=tuple(float(x) for x in lo),
+                                       hi=tuple(float(x) for x in hi)))
+
     # -- inputs ---------------------------------------------------------
     def record_input(self, now: float, component: str, entities, values):
         """Record an input-component write: applied locally NOW (prediction),
@@ -101,7 +107,20 @@ class NetworkClient:
 
         if self.owned and now - self._last_snapshot >= 1.0 / SNAPSHOT_RATE:
             self._last_snapshot = now
-            snap = extract_snapshot(self.world.state, sorted(self.owned),
+            export = set(self.owned)
+            # temporary ownership: also upload procedural state of island
+            # companions — the server accepts them only while this client is
+            # the island's sole owner (reference:
+            # client_snapshot_exporter.hpp:199-210, Design.md "Temporary
+            # ownership"); disabled when the server says so
+            if self.server_settings is None \
+                    or self.server_settings.allow_full_ownership:
+                from ..dynamics.islands import exact_island_mask
+                st = self.world.state
+                mine = np.asarray(exact_island_mask(st, sorted(self.owned)))
+                dyn = np.asarray(st.kind) == 0
+                export |= {int(e) for e in np.where(mine & dyn)[0]}
+            snap = extract_snapshot(self.world.state, sorted(export),
                                     TRANSIENT_COMPONENTS,
                                     timestamp=self.clock.to_remote(now))
             # entities sent under their server-side ids

@@ -26,8 +26,13 @@ class InterestState:
         self.center = np.asarray(center, np.float64)
         self.half_extents = np.asarray(half_extents, np.float64)
         self.current: set = set()
+        # recenter on this entity every update (reference: aabb_oi_follow,
+        # networking/comp/aabb_oi_follow.hpp)
+        self.follow: int | None = None
 
     def update(self, state):
+        if self.follow is not None:
+            self.center = np.asarray(state.pos)[self.follow].astype(np.float64)
         new = entities_in_aabb(state, self.center, self.half_extents)
         entered = new - self.current
         exited = self.current - new

@@ -96,6 +96,10 @@ class ServerSettings(Packet):
     fixed_dt: float = 1 / 60
     gravity: tuple = (0.0, -9.8, 0.0)
     playout_delay_multiplier: float = 1.2
+    # temporary ownership: client may set procedural state of every entity in
+    # islands it is the only reachable client of (reference:
+    # remote_client.hpp:43-46, server_side.cpp:341)
+    allow_full_ownership: bool = True
 
 
 @dataclasses.dataclass
@@ -122,9 +126,18 @@ class InputSnapshot(Packet):
     records: List[Any] = dataclasses.field(default_factory=list)  # InputRecord
 
 
+@dataclasses.dataclass
+class SetAabbOfInterest(Packet):
+    """Client -> server: replace my interest box (reference:
+    packet/set_aabb_of_interest.hpp)."""
+    lo: tuple = (-50.0, -50.0, -50.0)
+    hi: tuple = (50.0, 50.0, 50.0)
+
+
 RELIABLE_TYPES = (ClientCreatedEntity, ClientDestroyedEntity, EntityEntered,
                   EntityExited, UpdateEntityMap, GeneralSnapshot,
-                  ServerSettings, SetPlayoutDelay, AssetRequest, AssetResponse)
+                  ServerSettings, SetPlayoutDelay, AssetRequest, AssetResponse,
+                  SetAabbOfInterest)
 
 
 def should_send_reliably(packet: Packet) -> bool:

@@ -39,6 +39,10 @@ class RemoteClient:
     interest: InterestState = dataclasses.field(default_factory=InterestState)
     latency: float = 0.0
     playout_delay: float = 0.05
+    # temporary ownership (reference: remote_client.hpp:43-46): when True,
+    # snapshot state is accepted for any entity in an island reachable ONLY
+    # by this client (Design.md "Temporary ownership")
+    allow_full_ownership: bool = True
     last_snapshot_time: float = -1e9
     snapshot_rate: float = SNAPSHOT_RATE
     # merged input stream (reference: server-side action_history merge)
@@ -80,14 +84,17 @@ class NetworkServer:
 
     # -- lifecycle ------------------------------------------------------
     def register_client(self, client_id: int, send: Callable,
-                        interest_half_extents=(50.0, 50.0, 50.0)) -> RemoteClient:
-        c = RemoteClient(id=client_id, send=send)
+                        interest_half_extents=(50.0, 50.0, 50.0),
+                        allow_full_ownership: bool = True) -> RemoteClient:
+        c = RemoteClient(id=client_id, send=send,
+                         allow_full_ownership=allow_full_ownership)
         c.interest = InterestState(half_extents=interest_half_extents)
         self.clients[client_id] = c
         c.send(pk.ServerSettings(
             fixed_dt=self.world.settings.fixed_dt,
             gravity=self.world.settings.gravity,
-            playout_delay_multiplier=PLAYOUT_DELAY_MULTIPLIER))
+            playout_delay_multiplier=PLAYOUT_DELAY_MULTIPLIER,
+            allow_full_ownership=allow_full_ownership))
         return c
 
     # -- receive --------------------------------------------------------
@@ -122,6 +129,11 @@ class NetworkServer:
             # dedup-merge; replayed at playout time in update() (reference:
             # server_side.cpp:603-616 action dispatch)
             c.input_history.merge_remote(packet.records)
+        elif isinstance(packet, pk.SetAabbOfInterest):
+            lo = np.asarray(packet.lo, np.float64)
+            hi = np.asarray(packet.hi, np.float64)
+            c.interest.center = 0.5 * (lo + hi)
+            c.interest.half_extents = 0.5 * (hi - lo)
         elif isinstance(packet, pk.AssetRequest):
             known = {i: self.assets[i] for i in packet.ids if i in self.assets}
             if known:
@@ -150,10 +162,13 @@ class NetworkServer:
             if c is None:
                 continue
             snap = packet.snapshot
-            # ownership: a client may only move entities it owns (reference:
-            # server_side.cpp:46-76 snapshot import w/ ownership checks)
+            # ownership: a client may move entities it owns, plus — under
+            # temporary ownership — every entity in an island only IT can
+            # reach (reference: server_snapshot_importer.hpp:27-28,152
+            # is_only_reachable_client; Design.md "Temporary ownership")
+            allowed = self._allowed_entities(c)
             self.world.state = apply_snapshot(
-                self.world.state, snap, c.entity_map, only_entities=c.owned)
+                self.world.state, snap, c.entity_map, only_entities=allowed)
             self.world.wake_set(c.owned)
 
         # 1b. replay due input records with ownership restriction — a client
@@ -235,6 +250,30 @@ class NetworkServer:
 
     def _is_dynamic(self, e: int) -> bool:
         return bool(np.asarray(self.world.state.kind)[e] == 0)
+
+    def _allowed_entities(self, c: RemoteClient) -> set:
+        """Entities whose procedural state client ``c`` may set: its owned
+        entities plus, under temporary ownership, every dynamic entity in an
+        island reachable only through ``c`` (no other client's entity in the
+        island) — reference is_only_reachable_client
+        (server_snapshot_importer.hpp:152, Design.md "Temporary ownership")."""
+        allowed = set(c.owned)
+        if not (c.allow_full_ownership and c.owned):
+            return allowed
+        from ..dynamics.islands import exact_island_mask
+        st = self.world.state
+        mine = np.asarray(exact_island_mask(st, sorted(c.owned)))
+        others = set()
+        for c2 in self.clients.values():
+            if c2.id != c.id:
+                others |= c2.owned
+        if others:
+            contested = np.asarray(exact_island_mask(st, sorted(others)))
+        else:
+            contested = np.zeros_like(mine)
+        dyn = np.asarray(st.kind) == 0
+        allowed |= {int(e) for e in np.where(mine & ~contested & dyn)[0]}
+        return allowed
 
 
 def _def_from_dict(d: dict) -> RigidBodyDef:

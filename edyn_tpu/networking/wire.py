@@ -297,6 +297,7 @@ _PACKET_TYPES = [
     pk.InputSnapshot,          # 12
     pk.AssetRequest,           # 13
     pk.AssetResponse,          # 14
+    pk.SetAabbOfInterest,      # 15
 ]
 _TYPE_ID = {t: i for i, t in enumerate(_PACKET_TYPES)}
 
@@ -345,8 +346,12 @@ def encode_packet(p: pk.Packet) -> bytes:
         for g in p.gravity:
             _w_f64(out, g)
         _w_f64(out, p.playout_delay_multiplier)
+        _w_varint(out, 1 if p.allow_full_ownership else 0)
     elif isinstance(p, pk.SetPlayoutDelay):
         _w_f64(out, p.delay)
+    elif isinstance(p, pk.SetAabbOfInterest):
+        for v in (*p.lo, *p.hi):
+            _w_f64(out, v)
     elif isinstance(p, pk.ActionPacket):
         _w_svarint(out, p.entity)
         _w_varint(out, len(p.actions))
@@ -420,11 +425,20 @@ def decode_packet(data: bytes) -> pk.Packet:
             gi, pos = _r_f64(buf, pos)
             g.append(gi)
         pm, pos = _r_f64(buf, pos)
+        afo, pos = _r_varint(buf, pos)
         return pk.ServerSettings(timestamp=ts, fixed_dt=dt, gravity=tuple(g),
-                                 playout_delay_multiplier=pm)
+                                 playout_delay_multiplier=pm,
+                                 allow_full_ownership=bool(afo))
     if cls is pk.SetPlayoutDelay:
         d, pos = _r_f64(buf, pos)
         return pk.SetPlayoutDelay(timestamp=ts, delay=d)
+    if cls is pk.SetAabbOfInterest:
+        vs = []
+        for _ in range(6):
+            v, pos = _r_f64(buf, pos)
+            vs.append(v)
+        return pk.SetAabbOfInterest(timestamp=ts, lo=tuple(vs[:3]),
+                                    hi=tuple(vs[3:]))
     if cls is pk.ActionPacket:
         e, pos = _r_svarint(buf, pos)
         n, pos = _r_varint(buf, pos)

@@ -178,6 +178,105 @@ def test_ownership_rejected():
     assert abs(float(server_world.position(ball)[0])) < 1.0
 
 
+def test_aabb_of_interest_packet_and_follow():
+    """Client-driven interest box (packet/set_aabb_of_interest.hpp) and the
+    follow-an-entity mode (comp/aabb_oi_follow.hpp)."""
+    w = _empty_world()
+    near = w.spawn(et.RigidBodyDef(mass=1.0, shape=et.SphereShape(0.5),
+                                   position=(0, 5, 0), networked=True))
+    remote = w.spawn(et.RigidBodyDef(mass=1.0, shape=et.SphereShape(0.5),
+                                     position=(500, 5, 0), networked=True))
+    w.step(1)
+    server = NetworkServer(w)
+    sent = []
+    server.register_client(1, sent.append)
+    server.update(0.0)
+    entered = {e for p in sent if isinstance(p, pk.EntityEntered)
+               for e in p.snapshot.entities}
+    assert near in entered and remote not in entered
+
+    # move the box over the remote entity
+    sent.clear()
+    server.receive(1, pk.SetAabbOfInterest(lo=(450, -50, -50),
+                                           hi=(550, 50, 50)), 1.0)
+    server.update(1.0)
+    entered = {e for p in sent if isinstance(p, pk.EntityEntered)
+               for e in p.snapshot.entities}
+    exited = {e for p in sent if isinstance(p, pk.EntityExited)
+              for e in p.entities}
+    assert remote in entered and near in exited
+
+    # follow mode recenters every update
+    c = server.clients[1]
+    c.interest.follow = near
+    w.set_position(near, (100.0, 5.0, 0.0))
+    w.step(1)
+    server.update(2.0)
+    np.testing.assert_allclose(c.interest.center,
+                               np.asarray(w.position(near), np.float64),
+                               atol=1e-5)
+
+
+def test_temporary_ownership():
+    """Temporary ownership (reference: remote_client.hpp:43-46,
+    server_snapshot_importer.hpp is_only_reachable_client, Design.md):
+    a client may set the state of un-owned entities in an island only IT
+    reaches; a second client's entity in the island revokes it; the flag
+    disables it entirely."""
+    w = _empty_world()
+    owned = w.spawn(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 0.5, 0),
+        networked=True))
+    prop = w.spawn(et.RigidBodyDef(      # stacked on owned -> same island
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 1.5, 0),
+        networked=True))
+    far = w.spawn(et.RigidBodyDef(       # separate island
+        mass=1.0, shape=et.SphereShape(0.5), position=(20, 0.5, 0),
+        networked=True))
+    w.step(10)   # manifolds form: owned<->prop
+    server = NetworkServer(w)
+    c = server.register_client(1, lambda p: None)
+    c.owned.add(owned)
+    for e in (owned, prop, far):
+        c.entity_map.insert(e, e)
+
+    def send_move(entities, xs, now):
+        snap = extract_snapshot(w.state, entities, ("position",))
+        snap.pools["position"][:, 0] = xs
+        server.receive(1, pk.TransientSnapshot(timestamp=now, snapshot=snap),
+                       now)
+        server.update(now + 10.0)
+
+    # island companion accepted, far island rejected
+    send_move([prop, far], [5.0, 50.0], 0.0)
+    assert abs(float(w.position(prop)[0]) - 5.0) < 1e-4, \
+        "island companion not accepted under temporary ownership"
+    assert abs(float(w.position(far)[0]) - 20.0) < 1e-4, \
+        "unreachable entity accepted"
+
+    # a second client's entity joining the island revokes it
+    w.set_position(prop, (0.0, 1.5, 0.0))
+    w.step(10)   # re-form owned<->prop contact
+    other = w.spawn(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 2.5, 0),
+        networked=True))
+    c2 = server.register_client(2, lambda p: None)
+    c2.owned.add(other)
+    w.step(10)   # prop<->other contact
+    send_move([prop], [7.0], 100.0)
+    assert abs(float(w.position(prop)[0])) < 1.0, \
+        "contested island accepted"
+
+    # flag off: only owned entities, ever
+    c.allow_full_ownership = False
+    w.destroy(other)
+    w.step(10)
+    send_move([prop], [9.0], 200.0)
+    assert abs(float(w.position(prop)[0])) < 1.0
+    send_move([owned], [3.0], 300.0)
+    assert abs(float(w.position(owned)[0]) - 3.0) < 1e-4
+
+
 def test_checkpoint_roundtrip():
     """World save/restore (exceeds the reference — SURVEY §5.4)."""
     b, ids = __import__("edyn_tpu.utils.scenes", fromlist=["scenes"]).box_stack(5)

@@ -44,7 +44,10 @@ ROUNDTRIP_CASES = [
     pk.TimeResponse(timestamp=9.0, id=42, origin_time=8.0),
     pk.ServerSettings(timestamp=10.0, fixed_dt=1 / 120,
                       gravity=(0.0, -3.7, 0.0),
-                      playout_delay_multiplier=1.5),
+                      playout_delay_multiplier=1.5,
+                      allow_full_ownership=False),
+    pk.SetAabbOfInterest(timestamp=10.5, lo=(-1.0, -2.0, -3.0),
+                         hi=(4.0, 5.0, 6.0)),
     pk.SetPlayoutDelay(timestamp=11.0, delay=0.08),
     pk.ActionPacket(timestamp=12.0, entity=4,
                     actions=[(0.5, np.array([1.0, 2.0], np.float32))]),
