@@ -53,6 +53,9 @@ class NetworkClient:
         self.assets: Dict[int, dict] = {}
         self._pending_assets: Dict[int, list] = {}  # asset id -> [(srv, pools)]
         self._requested_assets: set = set()
+        self._query_seq = 0
+        # query_entity replies by request id (reference: entity_response)
+        self.query_responses: Dict[int, object] = {}
 
     def register_asset(self, asset_id: int, def_: RigidBodyDef):
         self.assets[asset_id] = def_to_dict(def_)
@@ -62,6 +65,18 @@ class NetworkClient:
         packet/set_aabb_of_interest.hpp)."""
         self.send(pk.SetAabbOfInterest(lo=tuple(float(x) for x in lo),
                                        hi=tuple(float(x) for x in hi)))
+
+    def query_entity(self, queries) -> int:
+        """Ask the server for specific components of specific SERVER-side
+        entities (reference: packet/query_entity.hpp). ``queries`` is a list
+        of (server_entity, [component names]). Returns the request id; the
+        reply lands in ``self.query_responses[id]`` (and is also applied to
+        local copies of non-owned entities)."""
+        self._query_seq += 1
+        qid = self._query_seq
+        self.send(pk.QueryEntity(id=qid, queries=[
+            (int(e), list(cs)) for e, cs in queries]))
+        return qid
 
     # -- inputs ---------------------------------------------------------
     def record_input(self, now: float, component: str, entities, values):
@@ -180,6 +195,22 @@ class NetworkClient:
             self._handle_snapshot(packet, now)
         elif isinstance(packet, pk.GeneralSnapshot):
             # reliable component state for non-owned entities
+            snap = packet.snapshot
+            keep = np.array(
+                [not (self.entity_map.has_remote(int(e)) and
+                      self.entity_map.to_local(int(e)) in self.owned)
+                 for e in snap.entities], bool)
+            from ..replication.snapshot import RegistrySnapshot as _RS
+            self.world.state = apply_snapshot(
+                self.world.state,
+                _RS(entities=snap.entities[keep],
+                    pools={k: v[keep] for k, v in snap.pools.items()},
+                    timestamp=snap.timestamp),
+                self.entity_map)
+        elif isinstance(packet, pk.EntityResponse):
+            self.query_responses[packet.id] = packet.snapshot
+            # apply to local copies of non-owned entities, like a
+            # GeneralSnapshot (owned entities stay client-authoritative)
             snap = packet.snapshot
             keep = np.array(
                 [not (self.entity_map.has_remote(int(e)) and

@@ -127,6 +127,23 @@ class InputSnapshot(Packet):
 
 
 @dataclasses.dataclass
+class QueryEntity(Packet):
+    """Client -> server: request specific components of specific entities
+    (reference: packet/query_entity.hpp). ``queries`` is a list of
+    (entity, [component names])."""
+    id: int = 0
+    queries: List[tuple] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class EntityResponse(Packet):
+    """Server -> client reply to QueryEntity (reference:
+    packet/entity_response.hpp): one snapshot carrying the requested pools."""
+    id: int = 0
+    snapshot: Any = None
+
+
+@dataclasses.dataclass
 class SetAabbOfInterest(Packet):
     """Client -> server: replace my interest box (reference:
     packet/set_aabb_of_interest.hpp)."""
@@ -137,7 +154,7 @@ class SetAabbOfInterest(Packet):
 RELIABLE_TYPES = (ClientCreatedEntity, ClientDestroyedEntity, EntityEntered,
                   EntityExited, UpdateEntityMap, GeneralSnapshot,
                   ServerSettings, SetPlayoutDelay, AssetRequest, AssetResponse,
-                  SetAabbOfInterest)
+                  SetAabbOfInterest, QueryEntity, EntityResponse)
 
 
 def should_send_reliably(packet: Packet) -> bool:

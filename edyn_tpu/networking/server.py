@@ -129,6 +129,20 @@ class NetworkServer:
             # dedup-merge; replayed at playout time in update() (reference:
             # server_side.cpp:603-616 action dispatch)
             c.input_history.merge_remote(packet.records)
+        elif isinstance(packet, pk.QueryEntity):
+            # reply with the requested component pools (reference:
+            # packet/query_entity.hpp -> packet/entity_response.hpp; the
+            # per-entity component lists are unioned into one snapshot)
+            valid = np.asarray(self.world.state.valid)
+            ents, comps = set(), set()
+            for e, cs in packet.queries:
+                if 0 <= int(e) < len(valid) and valid[int(e)]:
+                    ents.add(int(e))
+                    comps.update(cs)
+            snap = extract_snapshot(self.world.state, sorted(ents),
+                                    tuple(sorted(comps)), timestamp=now)
+            c.send(pk.EntityResponse(timestamp=now, id=packet.id,
+                                     snapshot=snap))
         elif isinstance(packet, pk.SetAabbOfInterest):
             lo = np.asarray(packet.lo, np.float64)
             hi = np.asarray(packet.hi, np.float64)

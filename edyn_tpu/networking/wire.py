@@ -298,6 +298,8 @@ _PACKET_TYPES = [
     pk.AssetRequest,           # 13
     pk.AssetResponse,          # 14
     pk.SetAabbOfInterest,      # 15
+    pk.QueryEntity,            # 16
+    pk.EntityResponse,         # 17
 ]
 _TYPE_ID = {t: i for i, t in enumerate(_PACKET_TYPES)}
 
@@ -352,6 +354,17 @@ def encode_packet(p: pk.Packet) -> bytes:
     elif isinstance(p, pk.SetAabbOfInterest):
         for v in (*p.lo, *p.hi):
             _w_f64(out, v)
+    elif isinstance(p, pk.QueryEntity):
+        _w_varint(out, p.id)
+        _w_varint(out, len(p.queries))
+        for ent, comps in p.queries:
+            _w_svarint(out, int(ent))
+            _w_varint(out, len(comps))
+            for cname in comps:
+                _w_str(out, cname)
+    elif isinstance(p, pk.EntityResponse):
+        _w_varint(out, p.id)
+        _w_snapshot(out, p.snapshot)
     elif isinstance(p, pk.ActionPacket):
         _w_svarint(out, p.entity)
         _w_varint(out, len(p.actions))
@@ -439,6 +452,23 @@ def decode_packet(data: bytes) -> pk.Packet:
             vs.append(v)
         return pk.SetAabbOfInterest(timestamp=ts, lo=tuple(vs[:3]),
                                     hi=tuple(vs[3:]))
+    if cls is pk.QueryEntity:
+        qid, pos = _r_varint(buf, pos)
+        n, pos = _r_varint(buf, pos)
+        queries = []
+        for _ in range(n):
+            e, pos = _r_svarint(buf, pos)
+            m, pos = _r_varint(buf, pos)
+            comps = []
+            for _ in range(m):
+                cname, pos = _r_str(buf, pos)
+                comps.append(cname)
+            queries.append((e, comps))
+        return pk.QueryEntity(timestamp=ts, id=qid, queries=queries)
+    if cls is pk.EntityResponse:
+        qid, pos = _r_varint(buf, pos)
+        snap, pos = _r_snapshot(buf, pos)
+        return pk.EntityResponse(timestamp=ts, id=qid, snapshot=snap)
     if cls is pk.ActionPacket:
         e, pos = _r_svarint(buf, pos)
         n, pos = _r_varint(buf, pos)

@@ -217,6 +217,40 @@ def test_aabb_of_interest_packet_and_follow():
                                atol=1e-5)
 
 
+def test_query_entity_response():
+    """Client asks for specific components of specific entities; server
+    replies with one snapshot (reference: packet/query_entity.hpp +
+    packet/entity_response.hpp)."""
+    w = _empty_world()
+    ball = w.spawn(et.RigidBodyDef(mass=1.0, shape=et.SphereShape(0.5),
+                                   position=(3, 5, 7), networked=True))
+    w.step(1)
+    to_client = Channel()
+    to_server = Channel()
+    server = NetworkServer(w)
+    server.register_client(1, to_client.send)
+    cw = _empty_world()
+    client = NetworkClient(cw, to_server.send, enable_extrapolation=False)
+    # the client learns about the ball via interest first
+    server.update(0.0)
+    to_client.drain(client.receive, 0.0)
+    assert client.entity_map.has_remote(ball)
+    qid = client.query_entity([(ball, ["position", "linvel"])])
+    to_server.drain(lambda p, t: server.receive(1, p, t), 1.0)
+    to_client.drain(client.receive, 1.0)
+    snap = client.query_responses[qid]
+    assert set(snap.pools) == {"position", "linvel"}
+    assert list(snap.entities) == [ball]
+    np.testing.assert_allclose(
+        snap.pools["position"][0],
+        np.asarray(w.position(ball)), atol=1e-6)
+    # invalid entity ids are dropped server-side
+    qid2 = client.query_entity([(999, ["position"])])
+    to_server.drain(lambda p, t: server.receive(1, p, t), 2.0)
+    to_client.drain(client.receive, 2.0)
+    assert len(client.query_responses[qid2].entities) == 0
+
+
 def test_temporary_ownership():
     """Temporary ownership (reference: remote_client.hpp:43-46,
     server_snapshot_importer.hpp is_only_reachable_client, Design.md):

@@ -48,6 +48,9 @@ ROUNDTRIP_CASES = [
                       allow_full_ownership=False),
     pk.SetAabbOfInterest(timestamp=10.5, lo=(-1.0, -2.0, -3.0),
                          hi=(4.0, 5.0, 6.0)),
+    pk.QueryEntity(timestamp=10.6, id=3,
+                   queries=[(5, ["position", "linvel"]), (9, [])]),
+    pk.EntityResponse(timestamp=10.7, id=3, snapshot=_snap()),
     pk.SetPlayoutDelay(timestamp=11.0, delay=0.08),
     pk.ActionPacket(timestamp=12.0, entity=4,
                     actions=[(0.5, np.array([1.0, 2.0], np.float32))]),
@@ -86,6 +89,9 @@ def test_packet_roundtrip(packet):
             assert ra.timestamp == rb.timestamp
             np.testing.assert_array_equal(ra.entities, rb.entities)
             np.testing.assert_array_equal(ra.values, rb.values)
+    if hasattr(packet, "queries"):
+        assert [(int(e), list(cs)) for e, cs in got.queries] == \
+            [(int(e), list(cs)) for e, cs in packet.queries]
     if hasattr(packet, "actions"):
         for (ta, va), (tb, vb) in zip(packet.actions, got.actions):
             assert ta == tb
