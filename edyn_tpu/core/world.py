@@ -202,6 +202,76 @@ class World:
             sleep_timer=st.sleep_timer.at[i].set(0.0))
         return self
 
+    # -- runtime constraints (reference: make_constraint on a live registry,
+    # util/constraint_util.hpp; constraints are destroyable entities) -------
+    def _add_joint(self, **kw) -> int:
+        """Write a joint into a free slot of the prebuilt joint table. Ducks
+        as WorldBuilder._add_joint so every constraints.api factory works on
+        a live World too: ``et.make_hinge_constraint(world, a, b, ...)``.
+        The world needs spare joint capacity (make_world(max_joints=...))."""
+        jt = self.state.joints
+        free = np.where(~np.asarray(jt.valid))[0]
+        assert len(free), \
+            "joint table full — build the world with a larger max_joints"
+        i = int(free[0])
+        params = np.zeros((jt.params.shape[1],), np.float64)
+        p = np.asarray(kw.get("params", ()), np.float64)
+        params[:len(p)] = p
+        f = scalar_dtype()
+        self.state = dataclasses.replace(self.state, joints=dataclasses.replace(
+            jt,
+            jtype=jt.jtype.at[i].set(int(kw["jtype"])),
+            body_a=jt.body_a.at[i].set(int(kw["body_a"])),
+            body_b=jt.body_b.at[i].set(int(kw["body_b"])),
+            valid=jt.valid.at[i].set(True),
+            pivot_a=jt.pivot_a.at[i].set(jnp.asarray(kw.get("pivot_a", (0, 0, 0)), f)),
+            pivot_b=jt.pivot_b.at[i].set(jnp.asarray(kw.get("pivot_b", (0, 0, 0)), f)),
+            frame_a=jt.frame_a.at[i].set(jnp.asarray(kw.get("frame_a", (0, 0, 0, 1)), f)),
+            frame_b=jt.frame_b.at[i].set(jnp.asarray(kw.get("frame_b", (0, 0, 0, 1)), f)),
+            params=jt.params.at[i].set(jnp.asarray(params, f)),
+            impulses=jt.impulses.at[i].set(0.0),
+            angle=jt.angle.at[i].set(0.0)))
+        if not self.meta.has_joints:
+            # the joint phases were compiled out of a joint-free world;
+            # flipping the static flag re-jits (same cost model as
+            # refresh_settings in the reference)
+            self.meta = dataclasses.replace(self.meta, has_joints=True)
+        # a new graph edge wakes both islands (reference:
+        # island_manager on_construct wake)
+        self.wake_up(int(kw["body_a"]))
+        self.wake_up(int(kw["body_b"]))
+        return i
+
+    def destroy_joint(self, j: int):
+        """Invalidate a joint and wake its islands (reference: destroying a
+        constraint entity wakes the island, island_manager.cpp:74-98)."""
+        jt = self.state.joints
+        a = int(np.asarray(jt.body_a)[j])
+        b = int(np.asarray(jt.body_b)[j])
+        self.wake_up(a)
+        self.wake_up(b)
+        self.state = dataclasses.replace(self.state, joints=dataclasses.replace(
+            jt, valid=jt.valid.at[j].set(False),
+            jtype=jt.jtype.at[j].set(0),
+            impulses=jt.impulses.at[j].set(0.0)))
+        return self
+
+    def exclude_collision(self, a: int, b: int):
+        """Runtime collision exclusion (reference:
+        util/exclude_collision.hpp). Appends to both bodies' fixed-width
+        exclusion lists."""
+        ex = self.state.exclusions
+        exn = np.asarray(ex)
+        for x, y in ((a, b), (b, a)):
+            row = exn[x]
+            if y in row:
+                continue
+            slots = np.where(row < 0)[0]
+            assert len(slots), f"exclusion list of body {x} full"
+            ex = ex.at[x, int(slots[0])].set(y)
+        self.state = dataclasses.replace(self.state, exclusions=ex)
+        return self
+
     def set_mass(self, i, mass: float):
         """reference: set_rigidbody_mass (util/rigidbody.hpp:149,
         rigidbody.cpp:300-305) — replaces mass only; the inertia tensor is

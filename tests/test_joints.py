@@ -304,3 +304,50 @@ def test_cvjoint_twist_lock_transmits_rotation():
     w.step(60)
     wz = float(w.angvel(out)[2])
     assert abs(wz - 3.0) < 0.2, wz
+
+
+def test_runtime_joint_create_and_destroy():
+    """Constraints on a LIVE world (reference: make_constraint on a live
+    registry, util/constraint_util.hpp; destroying a constraint entity wakes
+    its island, island_manager.cpp:74-98). The constraints.api factories
+    duck-type over WorldBuilder and World."""
+    b = et.WorldBuilder()
+    anchor = b.make_rigidbody(et.RigidBodyDef(
+        kind=et.KIND_STATIC, shape=et.SphereShape(0.1), position=(0, 5, 0)))
+    ball = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.2), position=(0, 3, 0),
+        sleeping_disabled=True))
+    w = et.make_world(b, max_joints=4)
+
+    j = et.make_distance_constraint(w, anchor, ball, (0, 0, 0), (0, 0, 0),
+                                    distance=2.0)
+    w.step(120)
+    d = float(np.linalg.norm(np.asarray(w.position(ball))
+                             - np.asarray(w.position(anchor))))
+    assert abs(d - 2.0) < 0.1, f"runtime joint not enforced: d={d}"
+
+    w.destroy_joint(j)
+    w.step(60)
+    d = float(np.linalg.norm(np.asarray(w.position(ball))
+                             - np.asarray(w.position(anchor))))
+    assert d > 2.3, f"destroyed joint still constrains: d={d}"
+
+
+def test_runtime_joint_into_joint_free_world_rejits():
+    """Adding the first joint to a world built without any must flip the
+    compiled-out joint phases back on (meta.has_joints re-jit)."""
+    b = et.WorldBuilder(gravity=(0.0, 0.0, 0.0))
+    a = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.2), position=(0, 0, 0),
+        sleeping_disabled=True))
+    c = b.make_rigidbody(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.2), position=(1, 0, 0),
+        linvel=(1.0, 0, 0), sleeping_disabled=True))
+    w = et.make_world(b, max_joints=2)
+    assert not w.meta.has_joints
+    et.make_distance_constraint(w, a, c, (0, 0, 0), (0, 0, 0), distance=1.0)
+    assert w.meta.has_joints
+    w.step(60)
+    d = float(np.linalg.norm(np.asarray(w.position(c))
+                             - np.asarray(w.position(a))))
+    assert abs(d - 1.0) < 0.15, d
