@@ -46,8 +46,11 @@ class NetworkClient:
         self._last_clock_sync = -1e9
         self._last_snapshot = -1e9
         self._pending_created: Dict[int, RigidBodyDef] = {}
-        # discontinuity offsets for presentation smoothing
+        # discontinuity offsets for presentation smoothing (reference:
+        # comp/discontinuity.hpp — position offset + orientation offset)
         self.disc_pos = np.zeros((world.state.capacity, 3), np.float32)
+        self.disc_orn = np.zeros((world.state.capacity, 4), np.float32)
+        self.disc_orn[:, 3] = 1.0
         # local asset registry + entities waiting on an asset sync
         # (reference: asset_ref sync-before-instantiate, Design.md:333-347)
         self.assets: Dict[int, dict] = {}
@@ -56,6 +59,9 @@ class NetworkClient:
         self._query_seq = 0
         # query_entity replies by request id (reference: entity_response)
         self.query_responses: Dict[int, object] = {}
+        # server-announced playout delay (reference: server_side.cpp:541 ->
+        # client ctx.server_playout_delay)
+        self.server_playout_delay = 0.0
 
     def register_asset(self, asset_id: int, def_: RigidBodyDef):
         self.assets[asset_id] = def_to_dict(def_)
@@ -167,13 +173,21 @@ class NetworkClient:
                 self.send(pk.InputSnapshot(
                     timestamp=self.clock.to_remote(now), records=wire_recs))
 
-        # decay discontinuities (reference: update_presentation.cpp:19-55)
+        # decay discontinuities (reference: update_presentation.cpp:19-55);
+        # orientation offsets nlerp toward identity
         self.disc_pos *= 0.9
+        self.disc_orn[:, :3] *= 0.9
+        self.disc_orn /= np.linalg.norm(self.disc_orn, axis=1, keepdims=True)
 
     # -- receive --------------------------------------------------------
     def receive(self, packet, now: float):
         if isinstance(packet, pk.TimeResponse):
             self.clock.process_response(packet, now)
+        elif isinstance(packet, pk.TimeRequest):
+            # clock sync is bidirectional (reference: client_side.cpp:809-814
+            # answers the server's time requests)
+            self.send(pk.TimeResponse(timestamp=now, id=packet.id,
+                                      origin_time=packet.timestamp))
         elif isinstance(packet, pk.ServerSettings):
             self.server_settings = packet
             self.world.set_settings(fixed_dt=packet.fixed_dt,
@@ -223,6 +237,12 @@ class NetworkClient:
                     pools={k: v[keep] for k, v in snap.pools.items()},
                     timestamp=snap.timestamp),
                 self.entity_map)
+        elif isinstance(packet, pk.SetPlayoutDelay):
+            # server-announced jitter-buffer delay (reference:
+            # client_side.cpp:804-807 ctx.server_playout_delay) — server
+            # state is this much staler than its timestamps suggest, so
+            # extrapolation targets now + delay
+            self.server_playout_delay = float(packet.delay)
         elif isinstance(packet, pk.AssetResponse):
             for aid, dd in packet.assets.items():
                 self.assets[int(aid)] = dd
@@ -296,18 +316,20 @@ class NetworkClient:
                                            now, self.input_history)
                 return
             old_pos = np.asarray(self.world.state.pos)
+            old_orn = np.asarray(self.world.state.orn)
             state, steps, timed_out = extrapolate(
                 self.world, snap, self.entity_map, local_time, now,
                 self.input_history,
                 time_limit=self.extrapolation_time_limit)
             self._merge_extrapolation(snap, state)
-            self.disc_pos += old_pos - np.asarray(self.world.state.pos)
+            self._accumulate_discontinuity(old_pos, old_orn)
         else:
             old_pos = np.asarray(self.world.state.pos)
+            old_orn = np.asarray(self.world.state.orn)
             self.world.state = apply_snapshot(self.world.state, snap,
                                               self.entity_map)
             # accumulate discontinuity = old - new for presentation smoothing
-            self.disc_pos += old_pos - np.asarray(self.world.state.pos)
+            self._accumulate_discontinuity(old_pos, old_orn)
 
     def _merge_extrapolation(self, snap, state):
         """Merge extrapolated transforms of snapshot entities into the live
@@ -326,8 +348,9 @@ class NetworkClient:
             return
         snap, state, steps, timed_out = res
         old_pos = np.asarray(self.world.state.pos)
+        old_orn = np.asarray(self.world.state.orn)
         self._merge_extrapolation(snap, state)
-        self.disc_pos += old_pos - np.asarray(self.world.state.pos)
+        self._accumulate_discontinuity(old_pos, old_orn)
 
     def close(self):
         """Stop the background extrapolation worker, if one was started."""
@@ -335,9 +358,31 @@ class NetworkClient:
             self._extrap_worker.stop()
             self._extrap_worker = None
 
+    def _accumulate_discontinuity(self, old_pos, old_orn):
+        """offset += old - new, so offset + new == old at the instant of the
+        snap (reference: discontinuity_accumulator merge_component,
+        comp/discontinuity.hpp:21-24 — quaternion offsets compose by
+        multiplication)."""
+        from ..math import quat as q
+        new_pos = np.asarray(self.world.state.pos)
+        new_orn = np.asarray(self.world.state.orn)
+        self.disc_pos += old_pos - new_pos
+        step_off = np.asarray(q.mul(old_orn, q.conjugate(new_orn)))
+        # np.array (copy): np.asarray of a jax array is a READ-ONLY view and
+        # the decay in update() mutates this buffer in place
+        self.disc_orn = np.array(q.normalize(
+            q.mul(self.disc_orn, step_off)), np.float32)
+
     def presentation_position(self, i: int):
         """Smoothed position (reference: present_position + discontinuity)."""
         return np.asarray(self.world.state.pos[i]) + self.disc_pos[i]
+
+    def presentation_orientation(self, i: int):
+        """Smoothed orientation (reference: present_orientation +
+        discontinuity orientation_offset)."""
+        from ..math import quat as q
+        return np.asarray(q.normalize(q.mul(self.disc_orn[i],
+                                            np.asarray(self.world.state.orn)[i])))
 
 
 def _spawn_from_pools(state, pools: dict):

@@ -120,8 +120,13 @@ class NetworkServer:
             # (reference: server_process_timed_packets, server_side.cpp:309-319)
             latency = max(now - packet.timestamp, 0.0)
             c.latency = 0.8 * c.latency + 0.2 * latency
-            c.playout_delay = min(c.latency * PLAYOUT_DELAY_MULTIPLIER,
-                                  MAX_PLAYOUT_DELAY)
+            new_delay = min(c.latency * PLAYOUT_DELAY_MULTIPLIER,
+                            MAX_PLAYOUT_DELAY)
+            # apply + announce only on significant change (reference:
+            # server_side.cpp:537-541, 6% hysteresis -> set_playout_delay)
+            if abs(new_delay - c.playout_delay) > c.playout_delay * 0.06:
+                c.playout_delay = new_delay
+                c.send(pk.SetPlayoutDelay(timestamp=now, delay=new_delay))
             due = packet.timestamp + c.playout_delay
             self._seq += 1
             heapq.heappush(self._timed, (due, self._seq, client_id, packet))

@@ -217,6 +217,68 @@ def test_aabb_of_interest_packet_and_follow():
                                atol=1e-5)
 
 
+def test_orientation_discontinuity_smoothing():
+    """Snapping a server orientation accumulates a quaternion offset so the
+    presented orientation stays continuous, then decays to the new value
+    (reference: comp/discontinuity.hpp orientation_offset)."""
+    cw = _empty_world()
+    ball = cw.spawn(et.RigidBodyDef(mass=1.0, shape=et.SphereShape(0.5),
+                                    position=(0, 5, 0), networked=True))
+    client = NetworkClient(cw, lambda p: None, enable_extrapolation=False)
+    client.entity_map.insert(ball, ball)
+
+    import math
+    q_new = np.array([0.0, 0.0, math.sin(math.pi / 4), math.cos(math.pi / 4)],
+                     np.float32)  # 90 deg about z
+    snap = RegistrySnapshot(
+        entities=np.array([ball], np.int32),
+        pools={"orientation": q_new[None, :]})
+    client.receive(pk.TransientSnapshot(timestamp=0.0, snapshot=snap), 0.0)
+    # physics state snapped...
+    assert abs(float(np.dot(np.asarray(cw.state.orn)[ball], q_new))) > 0.999
+    # ...but the presented orientation is still the OLD one (identity)
+    po = client.presentation_orientation(ball)
+    assert abs(float(po[3])) > 0.999, po
+    # the offset decays: presented orientation converges to the new value
+    for k in range(200):
+        client.update(0.1 + 0.01 * k)
+    po = client.presentation_orientation(ball)
+    assert abs(float(np.dot(po, q_new))) > 0.999, po
+
+
+def test_playout_delay_announced_to_client():
+    """The server announces its jitter-buffer delay when it changes by >6%
+    (reference: server_side.cpp:537-541 -> client ctx.server_playout_delay,
+    client_side.cpp:804-807)."""
+    w = _empty_world()
+    to_client = Channel()
+    server = NetworkServer(w)
+    server.register_client(1, to_client.send)
+    cw = _empty_world()
+    client = NetworkClient(cw, lambda p: None, enable_extrapolation=False)
+    empty = RegistrySnapshot(entities=np.zeros((0,), np.int32), pools={})
+    # 1 s of observed latency drives the delay up -> announcement
+    server.receive(1, pk.TransientSnapshot(timestamp=9.0, snapshot=empty),
+                   10.0)
+    to_client.drain(client.receive, 10.0)
+    assert client.server_playout_delay > 0.0
+    # converge the latency EWMA on a steady 1 s
+    for k in range(1, 60):
+        server.receive(1, pk.TransientSnapshot(
+            timestamp=10.0 * k + 9.0, snapshot=empty), 10.0 * k + 10.0)
+    to_client.drain(client.receive, 600.0)
+    converged = client.server_playout_delay
+    # steady latency after convergence: hysteresis suppresses announcements
+    n_before = len(to_client.queue)
+    server.receive(1, pk.TransientSnapshot(timestamp=609.0, snapshot=empty),
+                   610.0)
+    later = [p for p in to_client.queue[n_before:]
+             if isinstance(p, pk.SetPlayoutDelay)]
+    assert not later, "announcement fired without a significant delay change"
+    # converges to within the 6% hysteresis band of the 1.0 cap
+    assert abs(converged - min(1.0 * 1.2, 1.0)) < 0.1
+
+
 def test_query_entity_response():
     """Client asks for specific components of specific entities; server
     replies with one snapshot (reference: packet/query_entity.hpp +
