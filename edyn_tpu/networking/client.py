@@ -62,6 +62,9 @@ class NetworkClient:
         # server-announced playout delay (reference: server_side.cpp:541 ->
         # client ctx.server_playout_delay)
         self.server_playout_delay = 0.0
+        # cached temporary-ownership companion set (refreshed at 4 Hz)
+        self._companions: set = set()
+        self._companions_time = -1e9
 
     def register_asset(self, asset_id: int, def_: RigidBodyDef):
         self.assets[asset_id] = def_to_dict(def_)
@@ -136,11 +139,17 @@ class NetworkClient:
             # ownership"); disabled when the server says so
             if self.server_settings is None \
                     or self.server_settings.allow_full_ownership:
-                from ..dynamics.islands import exact_island_mask
-                st = self.world.state
-                mine = np.asarray(exact_island_mask(st, sorted(self.owned)))
-                dyn = np.asarray(st.kind) == 0
-                export |= {int(e) for e in np.where(mine & dyn)[0]}
+                # the exact island walk is a host union-find over all edges —
+                # refresh the companion set at 4 Hz, not every upload tick
+                if now - self._companions_time >= 0.25:
+                    self._companions_time = now
+                    from ..dynamics.islands import exact_island_mask
+                    st = self.world.state
+                    mine = np.asarray(exact_island_mask(st, sorted(self.owned)))
+                    dyn = np.asarray(st.kind) == 0
+                    self._companions = {int(e)
+                                        for e in np.where(mine & dyn)[0]}
+                export |= self._companions
             snap = extract_snapshot(self.world.state, sorted(export),
                                     TRANSIENT_COMPONENTS,
                                     timestamp=self.clock.to_remote(now))
