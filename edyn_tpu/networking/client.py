@@ -17,7 +17,8 @@ from ..replication.snapshot import (
 from . import packets as pk
 from .clock_sync import ClockSync
 from .extrapolation import extrapolate
-from .input_history import InputHistory, InputRecord
+from .input_history import (ActionHistory, ActionRecord,
+                            InputHistory, InputRecord)
 from .server import _def_from_dict, def_to_dict
 
 CLOCK_SYNC_INTERVAL = 1.0
@@ -35,6 +36,10 @@ class NetworkClient:
         self.entity_map = EntityMap()   # remote(server) -> local
         self.owned: set = set()          # local entities created by this client
         self.input_history = InputHistory()
+        # discrete actions (reference: action_history + the registered
+        # import-action function, networking_external.hpp)
+        self.action_history = ActionHistory()
+        self.action_handler = None
         self.enable_extrapolation = enable_extrapolation
         # snapshot replays run on a dedicated thread with a wall-clock budget
         # (reference: extrapolation_worker, created lazily on first use);
@@ -86,6 +91,26 @@ class NetworkClient:
         self.send(pk.QueryEntity(id=qid, queries=[
             (int(e), list(cs)) for e, cs in queries]))
         return qid
+
+    # -- actions ---------------------------------------------------------
+    def register_action_handler(self, fn):
+        """``fn(state, entity, payload) -> state`` executes one action
+        (reference: the import_action function registered via
+        register_networked_components, networking_external.hpp). The SAME
+        function must be registered on the server."""
+        self.action_handler = fn
+        return self
+
+    def record_action(self, now: float, entity: int, payload):
+        """Execute an action locally NOW (prediction), keep it in the
+        action history for extrapolation replay, and upload it inside the
+        next update (reference: action_history recording, Design.md:367-379)."""
+        assert self.action_handler is not None, "register_action_handler first"
+        payload = np.asarray(payload)
+        self.world.state = self.action_handler(self.world.state, int(entity),
+                                               payload)
+        self.action_history.record(ActionRecord(
+            timestamp=now, entity=int(entity), payload=payload))
 
     # -- inputs ---------------------------------------------------------
     def record_input(self, now: float, component: str, entities, values):
@@ -181,6 +206,18 @@ class NetworkClient:
             if wire_recs:
                 self.send(pk.InputSnapshot(
                     timestamp=self.clock.to_remote(now), records=wire_recs))
+            # upload recent actions, grouped per entity, under server-side
+            # ids and remote time (same loss-tolerant re-send window)
+            by_entity = {}
+            for r in self.action_history.since(now - INPUT_RESEND_WINDOW):
+                if self.entity_map.has_local(int(r.entity)):
+                    by_entity.setdefault(
+                        self.entity_map.to_remote(int(r.entity)), []).append(
+                        (self.clock.to_remote(r.timestamp), r.payload))
+            for rem, acts in sorted(by_entity.items()):
+                self.send(pk.ActionPacket(
+                    timestamp=self.clock.to_remote(now), entity=rem,
+                    actions=acts))
 
         # decay discontinuities (reference: update_presentation.cpp:19-55);
         # orientation offsets nlerp toward identity
@@ -322,14 +359,18 @@ class NetworkClient:
                     self._extrap_worker = ExtrapolationWorker(
                         self.world, time_limit=self.extrapolation_time_limit)
                 self._extrap_worker.submit(snap, self.entity_map, local_time,
-                                           now, self.input_history)
+                                           now, self.input_history,
+                                           self.action_history,
+                                           self.action_handler)
                 return
             old_pos = np.asarray(self.world.state.pos)
             old_orn = np.asarray(self.world.state.orn)
             state, steps, timed_out = extrapolate(
                 self.world, snap, self.entity_map, local_time, now,
                 self.input_history,
-                time_limit=self.extrapolation_time_limit)
+                time_limit=self.extrapolation_time_limit,
+                action_history=self.action_history,
+                action_handler=self.action_handler)
             self._merge_extrapolation(snap, state)
             self._accumulate_discontinuity(old_pos, old_orn)
         else:

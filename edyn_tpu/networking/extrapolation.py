@@ -59,7 +59,8 @@ def extrapolate(world, snap: RegistrySnapshot, emap, snapshot_local_time: float,
                 now: float, input_history=None,
                 max_steps: int = MAX_EXTRAPOLATION_STEPS,
                 islands_only: bool = True,
-                time_limit: Optional[float] = None):
+                time_limit: Optional[float] = None,
+                action_history=None, action_handler=None):
     """Returns (state, steps_done, timed_out): a scratch state advanced from
     the snapshot's time to ~now. The caller merges the result into the live
     world (process_extrapolation_result analogue). With ``islands_only`` the
@@ -87,6 +88,10 @@ def extrapolate(world, snap: RegistrySnapshot, emap, snapshot_local_time: float,
     for _ in range(num_steps):
         if input_history is not None:
             state = input_history.apply(state, t, dt)
+        if action_history is not None and action_handler is not None:
+            # replay discrete actions at their recorded times (reference:
+            # the extrapolation worker re-executes action_history)
+            state = action_history.apply(state, t, dt, action_handler)
         state = physics_step(state, world.settings, world.meta)
         t += dt
         steps_done += 1
@@ -122,10 +127,10 @@ class ExtrapolationWorker:
         self._thread.start()
 
     def submit(self, snap, emap, snapshot_local_time: float, now: float,
-               input_history=None):
+               input_history=None, action_history=None, action_handler=None):
         with self._cv:
             self._request = (snap, emap, snapshot_local_time, now,
-                             input_history)
+                             input_history, action_history, action_handler)
             self._cv.notify()
 
     def poll(self):
@@ -149,9 +154,10 @@ class ExtrapolationWorker:
                 if not self._running:
                     return
                 req, self._request = self._request, None
-            snap, emap, t_snap, now, hist = req
+            snap, emap, t_snap, now, hist, a_hist, a_fn = req
             state, steps, timed_out = extrapolate(
                 self.world, snap, emap, t_snap, now, hist,
-                max_steps=self.max_steps, time_limit=self.time_limit)
+                max_steps=self.max_steps, time_limit=self.time_limit,
+                action_history=a_hist, action_handler=a_fn)
             with self._cv:
                 self._result = (snap, state, steps, timed_out)

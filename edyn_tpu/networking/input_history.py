@@ -78,3 +78,58 @@ class InputHistory:
         for rec in records:
             if rec.key() not in seen:
                 self.record(rec)
+
+
+@dataclasses.dataclass
+class ActionRecord:
+    """One timestamped discrete action targeting an entity (reference:
+    comp/action_history.hpp — opaque per-entity action payloads with
+    timestamps, as opposed to continuous input STATE)."""
+    timestamp: float
+    entity: int               # remote id on the wire
+    payload: np.ndarray
+
+    def key(self):
+        return (self.timestamp, self.entity,
+                np.asarray(self.payload).tobytes())
+
+
+@dataclasses.dataclass
+class ActionHistory:
+    """Time-sorted ring of ActionRecords (reference: action_history — kept
+    alongside the input history, merged server-side, replayed during
+    extrapolation)."""
+    window: float = 2.0
+    entries: List[ActionRecord] = dataclasses.field(default_factory=list)
+
+    def record(self, rec: ActionRecord):
+        bisect.insort(self.entries, rec, key=lambda e: e.timestamp)
+        cutoff = rec.timestamp - self.window
+        while self.entries and self.entries[0].timestamp < cutoff:
+            self.entries.pop(0)
+
+    def since(self, t: float) -> List[ActionRecord]:
+        lo = bisect.bisect_left(self.entries, t, key=lambda e: e.timestamp)
+        return self.entries[lo:]
+
+    def apply(self, state, t: float, dt: float, handler, emap=None):
+        """Execute every action inside [t, t+dt) through ``handler(state,
+        entity, payload) -> state`` (reference: the registered
+        import_action function, networking_external.hpp)."""
+        lo = bisect.bisect_left(self.entries, t, key=lambda e: e.timestamp)
+        hi = bisect.bisect_left(self.entries, t + dt,
+                                key=lambda e: e.timestamp)
+        for rec in self.entries[lo:hi]:
+            e = int(rec.entity)
+            if emap is not None:
+                if not emap.has_remote(e):
+                    continue
+                e = emap.to_local(e)
+            state = handler(state, e, rec.payload)
+        return state
+
+    def merge_remote(self, records: List[ActionRecord]):
+        seen = {e.key() for e in self.entries}
+        for rec in records:
+            if rec.key() not in seen:
+                self.record(rec)

@@ -20,7 +20,7 @@ from ..replication.snapshot import (
     CREATION_COMPONENTS, TRANSIENT_COMPONENTS, apply_snapshot, extract_snapshot,
 )
 from . import packets as pk
-from .input_history import InputHistory
+from .input_history import ActionHistory, ActionRecord, InputHistory
 from .interest import InterestState
 
 PLAYOUT_DELAY_MULTIPLIER = 1.2  # reference: server_side.cpp:513-541
@@ -49,6 +49,9 @@ class RemoteClient:
     input_history: InputHistory = dataclasses.field(
         default_factory=InputHistory)
     input_applied: set = dataclasses.field(default_factory=set)
+    action_history: ActionHistory = dataclasses.field(
+        default_factory=ActionHistory)
+    action_applied: set = dataclasses.field(default_factory=set)
     last_reliable_time: float = -1e9
 
 
@@ -67,6 +70,9 @@ class NetworkServer:
         # asset_ref / asset_entry, networking/comp/asset_ref.hpp:16)
         self.assets: Dict[int, dict] = {}
         self.entity_asset: Dict[int, int] = {}
+        # discrete-action executor (reference: the registered import_action
+        # function, networking_external.hpp) — same fn as the clients'
+        self.action_handler = None
 
     # -- assets ----------------------------------------------------------
     def register_asset(self, asset_id: int, def_: RigidBodyDef):
@@ -81,6 +87,12 @@ class NetworkServer:
         e = self.world.spawn(d)
         self.entity_asset[e] = asset_id
         return e
+
+    def register_action_handler(self, fn):
+        """``fn(state, entity, payload) -> state`` (reference:
+        import_action, networking_external.hpp)."""
+        self.action_handler = fn
+        return self
 
     # -- lifecycle ------------------------------------------------------
     def register_client(self, client_id: int, send: Callable,
@@ -134,6 +146,13 @@ class NetworkServer:
             # dedup-merge; replayed at playout time in update() (reference:
             # server_side.cpp:603-616 action dispatch)
             c.input_history.merge_remote(packet.records)
+        elif isinstance(packet, pk.ActionPacket):
+            # merge, dedup by key (re-sends are the loss tolerance); replay
+            # happens at playout time in update()
+            c.action_history.merge_remote([
+                ActionRecord(timestamp=t, entity=int(packet.entity),
+                             payload=np.asarray(v))
+                for t, v in packet.actions])
         elif isinstance(packet, pk.QueryEntity):
             # reply with the requested component pools (reference:
             # packet/query_entity.hpp -> packet/entity_response.hpp; the
@@ -212,6 +231,24 @@ class NetworkServer:
                         self.world.state, rec.component, ent[keep],
                         np.asarray(rec.values)[keep])
                     applied = True
+            # actions replay the same way, ownership-checked, through the
+            # registered handler (reference: server_side.cpp:603-616)
+            if self.action_handler is not None:
+                for rec in c.action_history.entries:
+                    if rec.timestamp >= hi:
+                        break
+                    key = rec.key()
+                    if key in c.action_applied:
+                        continue
+                    c.action_applied.add(key)
+                    if int(rec.entity) in c.owned:
+                        self.world.state = self.action_handler(
+                            self.world.state, int(rec.entity), rec.payload)
+                        applied = True
+                if len(c.action_applied) > 4 * max(
+                        len(c.action_history.entries), 64):
+                    live = {r.key() for r in c.action_history.entries}
+                    c.action_applied &= live
             # bound the applied-key set to the history window
             if len(c.input_applied) > 4 * max(len(c.input_history.entries), 64):
                 live = {r.key() for r in c.input_history.entries}

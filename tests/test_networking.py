@@ -217,6 +217,58 @@ def test_aabb_of_interest_packet_and_follow():
                                atol=1e-5)
 
 
+def test_action_history_roundtrip():
+    """Discrete actions (reference: comp/action_history.hpp + the registered
+    import_action fn): executed locally at record time (prediction), uploaded
+    as ActionPacket, merged + deduped server-side, and executed once at
+    playout time through the same handler."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    def boost(state, e, payload):
+        return dc.replace(
+            state, linvel=state.linvel.at[e].add(
+                jnp.asarray(payload, state.linvel.dtype)))
+
+    server_world = _empty_world()
+    client_world = _empty_world()
+    to_client, to_server = Channel(), Channel()
+    server = NetworkServer(server_world).register_action_handler(boost)
+    server.register_client(1, to_client.send)
+    client = NetworkClient(client_world, to_server.send,
+                           enable_extrapolation=False)
+    client.register_action_handler(boost)
+
+    now = 0.0
+    dt = 1 / 60
+    ball = client.create_entity(et.RigidBodyDef(
+        mass=1.0, shape=et.SphereShape(0.5), position=(0, 5, 0),
+        gravity=(0.0, 0.0, 0.0), sleeping_disabled=True))
+    for _ in range(10):   # register entity + settle the map
+        now += dt
+        client.update(now)
+        to_server.drain(lambda p, t: server.receive(1, p, t), now)
+        server.update(now)
+        to_client.drain(client.receive, now)
+
+    client.record_action(now, ball, (5.0, 0.0, 0.0))
+    # local prediction applied immediately
+    assert abs(float(client_world.linvel(ball)[0]) - 5.0) < 1e-5
+    for _ in range(120):  # upload (incl. re-sends), playout, converge
+        now += dt
+        client.update(now)
+        to_server.drain(lambda p, t: server.receive(1, p, t), now)
+        server.update(now)
+        to_client.drain(client.receive, now)
+
+    srv_ball = client.entity_map.to_remote(ball)
+    c = server.clients[1]
+    assert len(c.action_history.entries) == 1, "re-sends not deduped"
+    assert len(c.action_applied) == 1, "action not executed exactly once"
+    assert abs(float(server_world.linvel(srv_ball)[0]) - 5.0) < 0.1, \
+        server_world.linvel(srv_ball)
+
+
 def test_orientation_discontinuity_smoothing():
     """Snapping a server orientation accumulates a quaternion offset so the
     presented orientation stays continuous, then decays to the new value
