@@ -23,6 +23,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+if os.environ.get("JAX_PLATFORMS"):
+    # The axon sitecustomize pins the platform after env vars are read, so
+    # honor JAX_PLATFORMS explicitly (needed to smoke-test on CPU when the
+    # TPU tunnel is down).
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 BASELINE_STEPS_PER_SEC = 20.0  # see BASELINE.md — estimated, not published
 SIZES = [int(x) for x in os.environ.get(
     "BENCH_SIZES", "1000,10000,16000").split(",") if x]
@@ -84,6 +94,15 @@ def bench_size(n_bodies: int):
     world.state = _dc.replace(st, pos=jnp.asarray(newpos, st.pos.dtype))
     world.wake_set(set(act.tolist()))
     world.step_n(2)  # re-detect: stale manifolds of the moved bodies break
+    # island labels only SPLIT at the periodic re-seed (islands.RESET_PERIOD);
+    # until then the airborne bodies still share the pile's label and their
+    # motion would wipe the pile's sleep timers every step. Step past the next
+    # re-seed so their labels separate, then force the pile asleep.
+    from edyn_tpu.dynamics.islands import RESET_PERIOD
+    world.step_n(RESET_PERIOD + 2)
+    world.put_to_sleep()
+    world.wake_set(set(act.tolist()))
+    world.step_n(1)
     world.block_until_ready()
     asleep_frac = float(_np.asarray(world.state.asleep).sum()
                         / max(1, int(_np.asarray(world.state.is_dynamic).sum())))
