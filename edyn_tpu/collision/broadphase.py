@@ -75,7 +75,12 @@ PLANE_PAIR_MARGIN = 0.05  # halfspace pairing slack (> collision_threshold
 
 
 def _overlap_elt(state, i, j):
-    amin, amax = state.aabb_min, state.aabb_max
+    # pair generation reads the carried FAT boxes (state.bp_aabb_*), not the
+    # tight AABBs: they only move when escaped (stepper re-seat), so the pair
+    # set — and with it manifold persistence and island sleep — is stable
+    # under sub-margin jitter (reference: dynamic_tree fat AABBs).
+    # Unseated slots hold reversed bounds and overlap nothing.
+    amin, amax = state.bp_aabb_min, state.bp_aabb_max
     o = jnp.all(amin[i] <= amax[j], axis=-1)
     o &= jnp.all(amax[i] >= amin[j], axis=-1)
 
@@ -139,7 +144,9 @@ def find_pairs_sweep(state, max_pairs: int, window: int = 128,
         f"pair keys are uint32: capacity {N} > {MAX_BODIES_FOR_KEYS}"
     W = min(window, max(N - 1, 1))
     idx = jnp.arange(N)
-    amin, amax = state.aabb_min, state.aabb_max
+    # sweep order/windows use the carried fat boxes too (consistent with
+    # _overlap_elt), so the sweep's pair set is jitter-stable as well
+    amin, amax = state.bp_aabb_min, state.bp_aabb_max
     valid = state.valid & (state.shape_type != ShapeType.NONE)
 
     # axis: largest variance of AABB centers over valid bodies

@@ -24,6 +24,8 @@ warm-start continuity (manifold.merge_points).
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -168,7 +170,23 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     # motion must re-detect contacts and wake neighbors
     inactive = state.asleep | ((state.kind == KIND_STATIC) & state.valid)
     frozen = inactive[man.body_a] & inactive[man.body_b]
-    cls = jnp.where(man.valid & ~frozen, cls, -1)
+    # reference detect_collision pre-check (collision_util.cpp:440-475):
+    # TIGHT AABBs inflated by contact_breaking_threshold. Candidate pairs
+    # come from the carried FAT boxes (jitter stability), so without this
+    # gate the fat margin would inflate every bucket's live width; far pairs
+    # can produce no points (kernels bail at distance > threshold) and any
+    # stale carried points are necessarily beyond breaking — prune them,
+    # matching the reference's unmatched-point destruction
+    # (collision_util.cpp:397-413).
+    from ..config import CONTACT_BREAKING_THRESHOLD as _BT
+    pre = (jnp.all(state.aabb_min[man.body_a] - _BT
+                   <= state.aabb_max[man.body_b], -1)
+           & jnp.all(state.aabb_max[man.body_a] + _BT
+                     >= state.aabb_min[man.body_b], -1))
+    cls = jnp.where(man.valid & ~frozen & pre, cls, -1)
+    stale = man.valid & ~frozen & ~pre
+    man = dataclasses.replace(
+        man, point_valid=man.point_valid & ~stale[:, None])
 
     # packed per-bucket results scatter into ONE [M,4,14] buffer (superset of
     # solver.pack_manifold_points: pivot_a 0:3 | pivot_b 3:6 | normal 6:9 |

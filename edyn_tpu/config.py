@@ -27,6 +27,19 @@ SUPPORT_FEATURE_TOLERANCE = 0.005
 CONTACT_POSITION_CORRECTION_RATE = 0.2
 CONTACT_POSITION_SOLVER_MIN_ERROR = -0.005
 CONVEX_MESH_RELEVANT_DIRECTION_TOLERANCE = 0.0006
+# Per-body slack of the carried ("fat") broadphase AABB. The reference's
+# dynamic tree stores AABBs inflated by 0.1 and only re-seats them when the
+# tight AABB escapes (dynamic_tree.hpp:24 aabb_inset, dynamic_tree.cpp:60-77
+# move), which keeps the pair set FIXED under sub-margin jitter — the
+# property that lets settling piles reach sleep (a flickering AABB pair
+# would destroy/recreate its manifold and wake the island every step).
+# 0.04 per body gives ~0.08 pairing slack between two fat boxes — escape
+# slack is ~4x the drift a quiet island can accumulate over its whole 2 s
+# sleep window, while keeping the candidate-pair inflation modest (the
+# reference's tree-fat reach is 0.1 but its manifold lifetime is decided on
+# tight AABBs; ours rides the candidate list, so the margin directly sets
+# slot pressure).
+BROADPHASE_FAT_MARGIN = 0.04
 
 GRAVITY_EARTH = (0.0, -9.8, 0.0)  # reference: include/edyn/math/constants.hpp
 LARGE_SCALAR = 1e9  # stiffness above this => rigid contact

@@ -97,6 +97,10 @@ def spawn_rigidbody(state: WorldState, d: RigidBodyDef, slot: int | None = None,
         st,
         valid=set_("valid", True),
         kind=set_("kind", d.kind),
+        # unseat the carried broadphase box of a recycled slot so the next
+        # step seats it at the new body's AABB
+        bp_aabb_min=set_("bp_aabb_min", 1e30),
+        bp_aabb_max=set_("bp_aabb_max", -1e30),
         pos=set_("pos", jnp.asarray(pos_w, scalar_dtype())),
         com=set_("com", jnp.asarray(com, scalar_dtype())),
         orn=set_("orn", jnp.asarray(orn, scalar_dtype())),
@@ -184,6 +188,8 @@ def destroy_rigidbody(state: WorldState, i: int) -> WorldState:
     return dataclasses.replace(
         state,
         valid=state.valid.at[i].set(False),
+        bp_aabb_min=state.bp_aabb_min.at[i].set(1e30),
+        bp_aabb_max=state.bp_aabb_max.at[i].set(-1e30),
         com=state.com.at[i].set(0.0),
         shape_type=state.shape_type.at[i].set(int(ShapeType.NONE)),
         roll_axis=state.roll_axis.at[i].set(0.0),

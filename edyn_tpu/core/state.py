@@ -205,6 +205,14 @@ class WorldState:
     # derived
     aabb_min: jnp.ndarray     # [N,3]
     aabb_max: jnp.ndarray     # [N,3]
+    # carried broadphase ("fat") AABB: tight AABB inflated by
+    # config.BROADPHASE_FAT_MARGIN, re-seated only when the tight AABB
+    # escapes it (reference: dynamic_tree fat AABBs + move(),
+    # dynamic_tree.cpp:60-77). Pair generation reads THESE, so sub-margin
+    # jitter never changes the pair set and settled islands can sleep.
+    # Reversed bounds (min > max) mean "unseated" — the next step seats them.
+    bp_aabb_min: jnp.ndarray  # [N,3]
+    bp_aabb_max: jnp.ndarray  # [N,3]
     # designated rolling axis in object space (zero = roll isotropically).
     # Set from the shape at spawn/set_shape (cylinders/capsules roll about
     # their disc axis; reference: comp/roll_direction.hpp,
@@ -295,6 +303,8 @@ class WorldState:
             shape_index=jnp.zeros((N,), jnp.int32),
             aabb_min=jnp.zeros((N, 3)),
             aabb_max=jnp.zeros((N, 3)),
+            bp_aabb_min=jnp.full((N, 3), 1e30),
+            bp_aabb_max=jnp.full((N, 3), -1e30),
             roll_axis=jnp.zeros((N, 3)),
             island_id=jnp.full((N,), -1, jnp.int32),
             sleep_timer=jnp.zeros((N,)),

@@ -55,7 +55,12 @@ def compute_islands(state, man, num_iters: int = 16, warm_start: bool = True):
         both_dyn = dyn[a] & dyn[b] & valid
         return a, b, both_dyn
 
-    ca, cb, cv = edges(man.body_a, man.body_b, man.valid)
+    # contact edges are NEAR-CONTACT manifolds only (ones holding points):
+    # far candidate pairs from the fat broadphase boxes have no reference
+    # equivalent (reference manifolds exist within ~1.3*contact_breaking of
+    # contact) and must not merge islands from ~2*FAT_MARGIN away
+    ca, cb, cv = edges(man.body_a, man.body_b,
+                       man.valid & jnp.any(man.point_valid, -1))
     ja, jb, jv = edges(state.joints.body_a, state.joints.body_b,
                        state.joints.valid)
     ea = jnp.concatenate([ca, ja])
@@ -104,7 +109,8 @@ def exact_island_mask(state, seeds) -> "jnp.ndarray":
     man, jt = state.contacts, state.joints
     ea = np.concatenate([np.asarray(man.body_a), np.asarray(jt.body_a)])
     eb = np.concatenate([np.asarray(man.body_b), np.asarray(jt.body_b)])
-    ev = np.concatenate([np.asarray(man.valid), np.asarray(jt.valid)])
+    man_pointed = np.asarray(man.valid) & np.asarray(man.point_valid).any(-1)
+    ev = np.concatenate([man_pointed, np.asarray(jt.valid)])
     live = ev & dyn[ea] & dyn[eb]
     for a, b in zip(ea[live].tolist(), eb[live].tolist()):
         ra, rb = find(a), find(b)
@@ -146,7 +152,8 @@ def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 4,
     kin_moving = state.is_kinematic & ~(lin_ok & ang_ok)
     ea = jnp.concatenate([man.body_a, state.joints.body_a])
     eb = jnp.concatenate([man.body_b, state.joints.body_b])
-    ev = jnp.concatenate([man.valid, state.joints.valid])
+    ev = jnp.concatenate([man.valid & jnp.any(man.point_valid, -1),
+                          state.joints.valid])
     # both directions through one concatenated index: edge (this -> other)
     e_this = jnp.concatenate([ea, eb])
     e_other = jnp.concatenate([eb, ea])

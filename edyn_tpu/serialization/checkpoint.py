@@ -21,8 +21,17 @@ from ..core.state import WorldState
 #     child_type/params, convex disc_r/disc_axis, contact material scales,
 #     joint angle, params 20->60).
 # v3: contact keys int32 -> uint32, roll_axis column.
-FORMAT_VERSION = 3
+# v4: carried fat broadphase boxes (bp_aabb_min/max), backfillable from v3.
+FORMAT_VERSION = 4
 MIN_SUPPORTED_VERSION = 3
+
+# Leaves added after v3, backfilled with self-healing defaults when loading
+# an older checkpoint. The carried broadphase boxes default to "unseated"
+# (reversed bounds), which the next step re-seats from the tight AABBs.
+_BACKFILL = {
+    "bp_aabb_min": lambda leaf: np.full(leaf.shape, 1e30, leaf.dtype),
+    "bp_aabb_max": lambda leaf: np.full(leaf.shape, -1e30, leaf.dtype),
+}
 
 
 def _path_key(path) -> str:
@@ -104,6 +113,9 @@ def load_world(path_or_file, template: Optional[WorldState] = None):
     leaves = []
     for path, leaf in flat:
         key = _path_key(path)
+        if key not in data and key in _BACKFILL:
+            leaves.append(jax.numpy.asarray(_BACKFILL[key](np.asarray(leaf))))
+            continue
         arr = data[key]
         assert arr.shape == leaf.shape, f"{key}: {arr.shape} != {leaf.shape}"
         leaves.append(jax.numpy.asarray(arr, dtype=leaf.dtype))

@@ -213,7 +213,17 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     amin, amax = compute_aabbs(state.shape_type, state.shape_params,
                                state.origin_pos(), state.orn, state.poly,
                                state.shape_index, state.mesh, state.convex)
-    state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax)
+    # carried fat broadphase boxes: re-seat only when the tight AABB escapes
+    # (reference: dynamic_tree::move, dynamic_tree.cpp:60-77) so sub-margin
+    # jitter keeps the pair set — and therefore manifolds, islands, and
+    # sleep state — exactly stable.
+    from ..config import BROADPHASE_FAT_MARGIN as _FAT
+    escaped = jnp.any((amin < state.bp_aabb_min) | (amax > state.bp_aabb_max),
+                      axis=-1)
+    bp_min = jnp.where(escaped[:, None], amin - _FAT, state.bp_aabb_min)
+    bp_max = jnp.where(escaped[:, None], amax + _FAT, state.bp_aabb_max)
+    state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax,
+                                bp_aabb_min=bp_min, bp_aabb_max=bp_max)
 
     # --- broadphase ---
     from ..collision.broadphase import DENSE_LIMIT, find_pairs_sweep
@@ -236,10 +246,17 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     # island_manager.cpp:74-98 wakes an island when a graph edge dies, e.g.
     # the body underneath a sleeping stack is destroyed or drifts away)
     old = state.contacts
+    # Only drops of NEAR-CONTACT manifolds (ones that held contact points)
+    # wake: our pair slots include far candidates the fat boxes paired up to
+    # ~2*BROADPHASE_FAT_MARGIN out, which have no reference equivalent — the
+    # reference only ever creates manifolds within ~1.3*contact_breaking of
+    # tight contact (broadphase.hpp:15-18), so only those separations fire
+    # on_destroy island wakes there.
+    edge_wake = edge_dropped & jnp.any(old.point_valid, -1)
     wake_bodies = (
         jnp.zeros((state.capacity,), bool)
-        .at[jnp.where(edge_dropped, old.body_a, 0)].max(edge_dropped)
-        .at[jnp.where(edge_dropped, old.body_b, 0)].max(edge_dropped))
+        .at[jnp.where(edge_wake, old.body_a, 0)].max(edge_wake)
+        .at[jnp.where(edge_wake, old.body_b, 0)].max(edge_wake))
     man, np_dropped = update_contacts(state, man, settings.collision_threshold,
                                       meta.types_present, meta.bucket_cap, dt,
                                       pallas_mode=meta.pallas_narrowphase)

@@ -97,7 +97,13 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
     amin, amax = timed("aabbs", jax.jit(lambda s: compute_aabbs(
         s.shape_type, s.shape_params, s.origin_pos(), s.orn, s.poly,
         s.shape_index, s.mesh, s.convex)), st)
-    st = dc.replace(st, aabb_min=amin, aabb_max=amax)
+    from ..config import BROADPHASE_FAT_MARGIN as _FAT
+    import jax.numpy as _jnp
+    escaped = _jnp.any((amin < st.bp_aabb_min) | (amax > st.bp_aabb_max), -1)
+    st = dc.replace(
+        st, aabb_min=amin, aabb_max=amax,
+        bp_aabb_min=_jnp.where(escaped[:, None], amin - _FAT, st.bp_aabb_min),
+        bp_aabb_max=_jnp.where(escaped[:, None], amax + _FAT, st.bp_aabb_max))
     from ..collision.broadphase import DENSE_LIMIT, find_pairs_sweep
     mode = meta.broadphase_mode
     if mode == "auto":

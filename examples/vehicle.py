@@ -13,6 +13,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+if os.environ.get("JAX_PLATFORMS"):
+    # honor JAX_PLATFORMS even when a sitecustomize pins another platform
+    # (lets the examples run on CPU when no TPU is reachable)
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 import edyn_tpu as et

@@ -153,6 +153,54 @@ def test_sleeping_and_wake_on_impulse():
     assert float(w.linvel(box)[1]) > 0.1
 
 
+def test_force_sleep_mid_settle_sticks():
+    """A pile force-slept while still jittering must STAY asleep. Two
+    mechanisms under test: (1) pair generation reads the carried fat
+    broadphase boxes (state.bp_aabb_*, re-seated only on escape — the
+    reference's dynamic_tree::move, dynamic_tree.cpp:60-77), so sub-margin
+    residual motion cannot change the pair set; (2) only drops of manifolds
+    that actually HELD contact points wake islands — far candidate pairs
+    have no reference equivalent (reference manifolds exist within
+    ~1.3*contact_breaking of contact, broadphase.hpp:15-18) and their churn
+    must not re-wake the island every step."""
+    b, ids = scenes.mixed_pile(n_bodies=64)
+    w = et.make_world(b)
+    settle(w, 60)  # touching and piled, but NOT naturally asleep yet
+    assert int(np.asarray(w.state.contacts.valid).sum()) > 0
+    w.put_to_sleep()
+    pos0 = np.asarray(w.state.pos).copy()
+    w.step(6)
+    dyn = np.asarray(w.state.is_dynamic)
+    asleep = np.asarray(w.state.asleep)
+    assert asleep[dyn].mean() > 0.95, \
+        f"force-slept pile re-woke: {asleep[dyn].mean():.2f} asleep"
+    np.testing.assert_allclose(np.asarray(w.state.pos)[dyn], pos0[dyn],
+                               atol=1e-6)
+
+
+def test_teleport_away_wakes_old_neighbors():
+    """Teleporting a sleeping body away re-seats its fat broadphase box,
+    its (pointed) manifolds leave the pair list, and the drop wakes the old
+    island (reference: moving an entity destroys separated manifolds ->
+    on_destroy wakes the island)."""
+    import dataclasses
+    import jax.numpy as jnp
+    b, ids = scenes.box_stack(2)
+    w = et.make_world(b)
+    settle(w, 90)
+    w.put_to_sleep()
+    w.step(2)
+    assert all(w.is_asleep(i) for i in ids)
+    top, bottom = ids[1], ids[0]
+    st = w.state
+    w.state = dataclasses.replace(
+        st, pos=st.pos.at[top].set(jnp.asarray([50.0, 5.0, 0.0],
+                                               st.pos.dtype)))
+    w.wake_up(top)
+    w.step(3)
+    assert not w.is_asleep(bottom), "pointed-manifold drop did not wake"
+
+
 def test_sleeping_disabled_flag():
     b = et.WorldBuilder()
     b.make_rigidbody(et.RigidBodyDef(
