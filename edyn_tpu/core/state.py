@@ -274,6 +274,11 @@ class WorldState:
         from ..shapes.convex import ConvexTable
         from ..shapes.compound import CompoundTable
         ident = jnp.zeros((N, 4)).at[:, 3].set(1.0)
+        # Explicit dtype on every float fill: a weak-typed leaf (plain-float
+        # jnp.full) gives the fresh state a different jit signature than the
+        # stepped state, forcing a full retrace of physics_step on step 2.
+        from ..config import scalar_dtype
+        f = scalar_dtype()
         return WorldState(
             pos=jnp.zeros((N, 3)),
             orn=ident,
@@ -283,11 +288,11 @@ class WorldState:
             inertia_inv=jnp.zeros((N, 3, 3)),
             com=jnp.zeros((N, 3)),
             restitution=jnp.zeros((N,)),
-            friction=jnp.full((N,), 0.5),
+            friction=jnp.full((N,), 0.5, f),
             spin_friction=jnp.zeros((N,)),
             roll_friction=jnp.zeros((N,)),
-            stiffness=jnp.full((N,), 1e10),
-            damping=jnp.full((N,), 1e10),
+            stiffness=jnp.full((N,), 1e10, f),
+            damping=jnp.full((N,), 1e10, f),
             has_material=jnp.zeros((N,), bool),
             material_id=jnp.full((N,), -1, jnp.int32),
             gravity=jnp.zeros((N, 3)),
@@ -303,8 +308,8 @@ class WorldState:
             shape_index=jnp.zeros((N,), jnp.int32),
             aabb_min=jnp.zeros((N, 3)),
             aabb_max=jnp.zeros((N, 3)),
-            bp_aabb_min=jnp.full((N, 3), 1e30),
-            bp_aabb_max=jnp.full((N, 3), -1e30),
+            bp_aabb_min=jnp.full((N, 3), 1e30, f),
+            bp_aabb_max=jnp.full((N, 3), -1e30, f),
             roll_axis=jnp.zeros((N, 3)),
             island_id=jnp.full((N,), -1, jnp.int32),
             sleep_timer=jnp.zeros((N,)),
