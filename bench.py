@@ -41,10 +41,25 @@ SETTLE_STEPS = int(os.environ.get("BENCH_SETTLE", 300))
 PROFILE_DIR = os.environ.get("BENCH_PROFILE")
 
 
+# Bound every device call: the axon relay (degraded tunnel runtime) kills a
+# single long-running execution (step_n(300) at 10k bodies => UNAVAILABLE),
+# while chunked calls reuse the same compiled program (n is a traced int32)
+# and add only ~2 host dispatches per 60 steps — noise on a normal runtime.
+CALL_CHUNK = int(os.environ.get("BENCH_CALL_CHUNK", 30))
+
+
+def _run_steps(world, n):
+    done = 0
+    while done < n:
+        k = min(CALL_CHUNK, n - done)
+        world.step_n(k)
+        done += k
+    world.block_until_ready()
+
+
 def _time_steps(world, n):
     t0 = time.perf_counter()
-    world.step_n(n)
-    world.block_until_ready()
+    _run_steps(world, n)
     return n / (time.perf_counter() - t0)
 
 
@@ -60,8 +75,7 @@ def bench_size(n_bodies: int):
     world.block_until_ready()
 
     falling = _time_steps(world, N_STEPS)
-    world.step_n(SETTLE_STEPS)
-    world.block_until_ready()
+    _run_steps(world, SETTLE_STEPS)
     if PROFILE_DIR and n_bodies == 10_000:
         import jax
         with jax.profiler.trace(PROFILE_DIR):
