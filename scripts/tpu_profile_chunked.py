@@ -44,7 +44,10 @@ def main():
     world.block_until_ready()
     print(f"falling: {CHUNK/(time.perf_counter()-t0):.2f} steps/s", flush=True)
 
-    done = CHUNK + 2
+    # settle counter starts at 0: the compile + falling steps are extra, so
+    # SETTLE settle steps run after the falling measurement (comparable to
+    # tpu_phase_profile.py for the same argument)
+    done = 0
     while done < SETTLE:
         n = min(CHUNK, SETTLE - done)
         t0 = time.perf_counter()
@@ -64,9 +67,12 @@ def main():
     cnt = counters(world.state)
     print("\n| phase | ms |", flush=True)
     print("|---|---|", flush=True)
+    # profile_step values are already in milliseconds (utils/profile.py)
     for k, v in sorted(timers.items(), key=lambda kv: -kv[1]):
-        print(f"| {k} | {v*1000:.1f} |", flush=True)
-    print(json.dumps({"counters": {k: int(v) for k, v in cnt.items()},
+        print(f"| {k} | {v:.2f} |", flush=True)
+    import dataclasses
+    print(json.dumps({"counters": {k: int(v) for k, v in
+                                   dataclasses.asdict(cnt).items()},
                       "settled_steps_per_sec": round(settled, 2)}), flush=True)
 
 
