@@ -35,7 +35,7 @@ if os.environ.get("JAX_PLATFORMS"):
 
 BASELINE_STEPS_PER_SEC = 20.0  # see BASELINE.md — estimated, not published
 SIZES = [int(x) for x in os.environ.get(
-    "BENCH_SIZES", "1000,10000,16000").split(",") if x]
+    "BENCH_SIZES", "1000,10000,16000,32000").split(",") if x]
 N_STEPS = int(os.environ.get("BENCH_STEPS", 60))
 SETTLE_STEPS = int(os.environ.get("BENCH_SETTLE", 300))
 PROFILE_DIR = os.environ.get("BENCH_PROFILE")
@@ -70,11 +70,15 @@ def bench_size(n_bodies: int):
     builder, ids = scenes.mixed_pile(n_bodies=n_bodies)
     world = et.make_world(builder, et.Settings())
 
-    # compile + initial contact
+    # compile + initial contact (first step_n call compiles the program;
+    # compile_s = first-call wall time minus two steady-state steps)
+    t0 = time.perf_counter()
     world.step_n(2)
     world.block_until_ready()
+    first_call = time.perf_counter() - t0
 
     falling = _time_steps(world, N_STEPS)
+    compile_s = max(first_call - 2.0 / max(falling, 1e-6), 0.0)
     _run_steps(world, SETTLE_STEPS)
     if PROFILE_DIR and n_bodies == 10_000:
         import jax
@@ -120,12 +124,23 @@ def bench_size(n_bodies: int):
     world.block_until_ready()
     asleep_frac = float(_np.asarray(world.state.asleep).sum()
                         / max(1, int(_np.asarray(world.state.is_dynamic).sum())))
+    if asleep_frac < 0.9:
+        # the mostly-asleep phase is only meaningful when the pile actually
+        # sleeps — surface a wake storm loudly instead of hiding it in a
+        # look-alike number (VERDICT r3 item 2)
+        print(json.dumps({"warning": "mostly-asleep phase invalid: "
+                          f"asleep_fraction={asleep_frac:.3f} < 0.9 at "
+                          f"{n_bodies} bodies (wake storm?)"}),
+              file=sys.stderr, flush=True)
     mostly_asleep = _time_steps(world, N_STEPS)
 
+    ovf = world.overflow_counters()
     return {"bodies": n_bodies, "falling_steps_per_sec": round(falling, 2),
             "settled_steps_per_sec": round(settled, 2),
             "mostly_asleep_steps_per_sec": round(mostly_asleep, 2),
-            "asleep_fraction": round(asleep_frac, 3)}
+            "asleep_fraction": round(asleep_frac, 3),
+            "compile_s": round(compile_s, 1),
+            "overflow": {k: int(v) for k, v in ovf.items() if v}}
 
 
 def main():

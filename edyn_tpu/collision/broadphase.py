@@ -32,7 +32,14 @@ from ..core.state import KIND_DYNAMIC
 # JAX's default x64-disabled config (it silently truncates).
 INVALID_KEY = np.uint32(np.iinfo(np.uint32).max)  # host scalar: importing must not init a backend
 MAX_BODIES_FOR_KEYS = 65536
-DENSE_LIMIT = 12_000  # N above which the blocked path kicks in
+DENSE_LIMIT = MAX_BODIES_FOR_KEYS  # the dense mask path now covers the
+# whole uint32-key range: the narrow-narrow mask is box-only elementwise
+# VPU work (~N^2 bool ops, bitpacked to N^2/32 bytes), wide bodies
+# (planes/terrain) live in a [N, wide_cap] side block, and extraction is
+# arithmetic per-row bit search. The sweep path remains available via
+# SceneMeta.broadphase_mode="sweep" but its fixed window can truncate real
+# pairs in dense piles (the r3 16k wake storm), so it is no longer the
+# default anywhere.
 
 
 def _pack_keys(a, b, N, ok):
@@ -74,15 +81,22 @@ PLANE_PAIR_MARGIN = 0.05  # halfspace pairing slack (> collision_threshold
                           # so speculative contacts + hysteresis survive)
 
 
-def _overlap_elt(state, i, j):
-    # pair generation reads the carried FAT boxes (state.bp_aabb_*), not the
-    # tight AABBs: they only move when escaped (stepper re-seat), so the pair
-    # set — and with it manifold persistence and island sleep — is stable
-    # under sub-margin jitter (reference: dynamic_tree fat AABBs).
+def _overlap_boxes(state, i, j):
+    # pair generation reads the ADMISSION boxes (state.bp_aabb_*): the tight
+    # AABB swept by one step of velocity and inflated by the separation
+    # margin (stepper.physics_step_impl; reference: broadphase.hpp:15-18
+    # offset-AABB queries). Sleeping bodies have zero velocity and frozen
+    # positions, so their boxes — and the pair set — are exactly stable.
     # Unseated slots hold reversed bounds and overlap nothing.
     amin, amax = state.bp_aabb_min, state.bp_aabb_max
     o = jnp.all(amin[i] <= amax[j], axis=-1)
     o &= jnp.all(amax[i] >= amin[j], axis=-1)
+    return o
+
+
+def _overlap_elt(state, i, j):
+    amin, amax = state.bp_aabb_min, state.bp_aabb_max
+    o = _overlap_boxes(state, i, j)
 
     # plane bodies get a world-sized slab AABB (shapes/aabb.py PLANE_EXTENT),
     # which would pair them with EVERY body. Replace that test with the exact
@@ -232,9 +246,11 @@ def find_pairs_sweep(state, max_pairs: int, window: int = 128,
 
 
 @functools.partial(jax.jit, static_argnames=("max_pairs", "block",
-                                             "should_collide_fn"))
+                                             "should_collide_fn",
+                                             "dense_row_cap", "wide_cap"))
 def find_pairs(state, max_pairs: int, block: int = 256,
-               should_collide_fn=None):
+               should_collide_fn=None, dense_row_cap: int = 28,
+               wide_cap: int = 64):
     """Returns (keys[max_pairs] sorted asc, body_a, body_b, valid, dropped).
 
     keys = a * N + b with a < b; INVALID_KEY marks padding."""
@@ -244,48 +260,116 @@ def find_pairs(state, max_pairs: int, block: int = 256,
     idx = jnp.arange(N)
 
     if N <= DENSE_LIMIT:
-        # one-shot dense path: a single fused mask, then CHUNKED gather-based
-        # compaction. The mask is cut into 128-column chunks; a per-chunk
-        # popcount + one 1-D cumsum over the ~N^2/128 chunk counts replaces a
-        # full [N,N] prefix sum (XLA lowers a row cumsum to ~log2(N)
-        # reduce-window passes over the whole [N,N] array — measured as the
-        # dominant broadphase cost at 10k bodies). Each output slot k-ary
-        # searches its chunk in the small offset array, then decodes its lane
-        # with one gathered 128-bit chunk row and an MXU prefix matmul.
-        CH = 128
-        Bc = -(-N // CH)
-        Np = Bc * CH
+        # one-shot dense path: a single fused mask, then PER-ROW bit
+        # extraction. The measured cost law of this runtime is ~6 ns per
+        # gathered index, so the old design (k-ary searchsorted over chunk
+        # offsets + a [P,128] chunk-row gather: ~20 gathered indices per
+        # output slot) paid ~25 ms at 10k; this one extracts the k-th set
+        # bit of each row arithmetically (bitpack -> popcount prefix ->
+        # broadcast compares, zero gathers) and pays one index-scatter in
+        # the final compaction plus one flat-rate key sort (~2.5 ms).
+        #
+        # Row budget: a body's row holds its pairs with higher-indexed
+        # narrow bodies PLUS all its pairs with "wide" bodies (planes,
+        # terrain — world-spanning AABBs that would blow any per-row cap),
+        # so wide bodies never own a row and `dense_row_cap` stays small.
+        # The narrow-narrow mask is BOX-ONLY elementwise work (the exact
+        # plane-vs-AABB clip runs only in the [N, wide_cap] wide block —
+        # at 50k bodies the clip's [N,N,3] intermediates would be ~7 GB).
+        # Emission order is not key-sorted, hence the flat-rate sort.
+        CH = 32
+        Bc_n = -(-N // 128) * 4                 # u32 chunks, 128-lane padded
+        Np = Bc_n * CH
         idx_c = jnp.minimum(jnp.arange(Np), N - 1)
-        m = _pair_filters(state, idx, idx_c)
-        m &= (jnp.arange(Np) < N)[None, :]
+        in_n = (jnp.arange(Np) < N)
+
+        # wide: any-axis extent over a quarter of the world span on that axis
+        amin, amax = state.bp_aabb_min, state.bp_aabb_max
+        validb = state.valid & (state.shape_type != ShapeType.NONE)
+        lo_w = jnp.min(jnp.where(validb[:, None], amin, jnp.inf), axis=0)
+        hi_w = jnp.max(jnp.where(validb[:, None], amax, -jnp.inf), axis=0)
+        span = jnp.maximum(hi_w - lo_w, 1e-6)
+        wide = validb & jnp.any((amax - amin) > 0.25 * span[None, :], axis=-1)
+        narrow = validb & ~wide
+
+        m = _pair_filters_elt(state, idx[:, None], idx_c[None, :])
+        m &= in_n[None, :]
+        m &= narrow[:, None] & narrow[idx_c][None, :]
+        m &= idx[:, None] < idx_c[None, :]
         if should_collide_fn is not None:
             m &= should_collide_fn(state, idx[:, None], idx_c[None, :])
-        m &= _overlap_elt(state, idx[:, None], idx_c[None, :])
+        m &= _overlap_boxes(state, idx[:, None], idx_c[None, :])
 
-        chunks = m.reshape(N * Bc, CH)
-        ccnt = jnp.sum(chunks, axis=1, dtype=jnp.int32)        # [N*Bc]
-        offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                   jnp.cumsum(ccnt)])          # [N*Bc+1]
-        total = offsets[-1]
+        # wide block [N, wide_cap]: narrow-vs-wide (every such pair lives in
+        # the narrow row) + wide-vs-wide (lower-indexed row), with the FULL
+        # overlap test including the plane clip
+        wloc, wcnt = _compact(wide, wide_cap)
+        wj_ids = jnp.where(wloc >= 0, wloc, 0)
+        iw = idx[:, None]
+        jw = wj_ids[None, :]
+        mw = (wloc >= 0)[None, :] & _pair_filters_elt(state, iw, jw)
+        mw &= narrow[:, None] | (wide[:, None] & (iw < jw))
+        if should_collide_fn is not None:
+            mw &= should_collide_fn(state, iw, jw)
+        mw &= _overlap_elt(state, iw, jw)
 
-        from ..ops.search import kary_searchsorted
-        k = jnp.arange(max_pairs, dtype=jnp.int32)
-        in_range = k < total
-        chunk = kary_searchsorted(offsets, k, side="right", k=16) - 1
-        chunk = jnp.clip(chunk, 0, N * Bc - 1)
-        rank = k - offsets[chunk]                              # 0-based in chunk
+        Wc = wide_cap
+        Bc_w = -(-Wc // CH)
+        Wpad = Bc_w * CH
+        mw = jnp.pad(mw, ((0, 0), (0, Wpad - Wc)))
+        Bc = Bc_n + Bc_w
 
-        crow = chunks[chunk]                                    # [P,CH] bool
-        # exclusive prefix within the chunk via one MXU matmul
-        st_mat = (jnp.arange(CH)[:, None] < jnp.arange(CH)[None, :])
-        prefix = crow.astype(jnp.float32) @ st_mat.astype(jnp.float32)
-        lane_hit = crow & (prefix.astype(jnp.int32) == rank[:, None])
-        j_in = jnp.argmax(lane_hit, axis=1).astype(jnp.int32)
+        # bitpack each row into u32 chunks (narrow columns, then wide)
+        pw = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+        pack = lambda x, B: jnp.sum(x.reshape(N, B, CH).astype(jnp.uint32)
+                                    * pw[None, None, :], axis=-1)
+        chunks = jnp.concatenate([pack(m, Bc_n), pack(mw, Bc_w)],
+                                 axis=1)                        # [N,Bc] u32
+        ccnt = jax.lax.population_count(chunks).astype(jnp.int32)
+        rowcnt = jnp.sum(ccnt, axis=1)                          # [N]
+        exc = jnp.cumsum(ccnt, axis=1) - ccnt                   # [N,Bc] excl
+        C = dense_row_cap
+        c_ids = jnp.arange(C, dtype=jnp.int32)                  # [C]
+        # chunk holding the c-th set bit of the row: exc<=c<exc+cnt
+        hit = ((exc[:, None, :] <= c_ids[None, :, None])
+               & (c_ids[None, :, None] < (exc + ccnt)[:, None, :]))  # [N,C,Bc]
+        hitf = hit.astype(jnp.uint32)
+        b_sel = jnp.sum(hitf * jnp.arange(Bc, dtype=jnp.uint32)[None, None, :],
+                        -1)
+        v_sel = jnp.sum(hitf * chunks[:, None, :], -1)          # [N,C] u32
+        r_sel = c_ids[None, :] - jnp.sum(
+            hitf * exc.astype(jnp.uint32)[:, None, :], -1).astype(jnp.int32)
+        # r-th set bit of v via prefix popcounts (arithmetic, no gather)
+        bit_ids = jnp.arange(32, dtype=jnp.uint32)
+        below = jax.lax.population_count(
+            v_sel[:, :, None] & ((jnp.uint32(1) << bit_ids) - jnp.uint32(1))
+            [None, None, :]).astype(jnp.int32)
+        bit_hit = ((((v_sel[:, :, None] >> bit_ids[None, None, :])
+                     & jnp.uint32(1)) == 1) & (below == r_sel[:, :, None]))
+        bitpos = jnp.sum(bit_hit * jnp.arange(32, dtype=jnp.int32)
+                         [None, None, :], -1)
+        col = b_sel.astype(jnp.int32) * CH + bitpos             # [N,C]
+        # decode: narrow columns are body ids; wide columns index the
+        # compacted wide list (selected arithmetically — wide_cap is small)
+        wcol = col - Np
+        j_wide = jnp.sum(jnp.where(
+            wcol[:, :, None] == jnp.arange(Wc, dtype=jnp.int32)[None, None, :],
+            wj_ids[None, None, :], 0), -1)
+        j_cand = jnp.where(col < Np, col, j_wide)               # [N,C]
+        valid_c = c_ids[None, :] < jnp.minimum(rowcnt, C)[:, None]
 
-        i_row = chunk // Bc
-        j_col = (chunk % Bc) * CH + j_in
-        keys = _pack_keys(i_row, jnp.minimum(j_col, N - 1), N, in_range)
-        dropped = jnp.maximum(total - max_pairs, 0)
+        flat_v = valid_c.reshape(-1)
+        loc, total = _compact(flat_v, max_pairs)
+        ok = loc >= 0
+        locc = jnp.clip(loc, 0, N * C - 1)
+        i_row = locc // C
+        j_col = jnp.minimum(j_cand.reshape(-1)[locc], N - 1)
+        lo_ab = jnp.minimum(i_row, j_col)
+        hi_ab = jnp.maximum(i_row, j_col)
+        keys = jnp.sort(_pack_keys(lo_ab, hi_ab, N, ok))
+        dropped = (jnp.maximum(total - max_pairs, 0)
+                   + jnp.sum(jnp.maximum(rowcnt - C, 0))
+                   + jnp.maximum(wcnt - wide_cap, 0))
     else:
         n_blocks = -(-N // block)
         kb = min(max(256, (max_pairs // n_blocks) * 4), block * N)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..config import (
@@ -28,58 +29,92 @@ from ..core.state import ContactTable
 from .broadphase import INVALID_KEY
 
 
-def carry_over(old: ContactTable, keys, body_a, body_b, pair_valid):
-    """Build this step's manifold table in broadphase-pair order, gathering
-    persistent state (points, impulses, lifetimes) from the previous table for
-    pairs that already existed. Returns ``(table, dropped)`` where ``dropped``
-    marks OLD manifolds claimed by no new pair (AABBs separated) — the
-    stepper wakes their islands, the analogue of the reference waking an
-    island when a graph edge is destroyed (island_manager.cpp:74-98
-    on_destroy_island_resident -> m_islands_to_wake_up).
+def update_slots(old: ContactTable, keys, body_a, body_b, pair_valid):
+    """Reconcile the SLOT-STABLE manifold table with this step's admitted
+    pair list. Surviving pairs keep their slot — their points/impulses/
+    lifetimes never move — new pairs allocate freed slots, and vanished
+    pairs are invalidated. Returns ``(table, dropped, n_dropped, same)``:
+    ``dropped`` marks slots whose manifold was claimed by no new pair
+    (AABBs separated) — the stepper wakes their islands, the analogue of
+    the reference waking an island when a graph edge is destroyed
+    (island_manager.cpp:74-98); ``same`` is True when the admitted pair
+    list is identical to last step's (the no-op fast path was taken —
+    downstream steady-state skips key off it).
 
-    Dispatch design: the key match uses the unrolled k-ary search (one gather
-    per round instead of jnp.searchsorted's ~log2(M)-dispatch while-loop),
-    and all persistent per-point columns are packed into one [M,4,17] array
-    so the carry costs ONE large gather. Every default is zero, so the
-    unmatched case is a multiply by the match mask."""
+    Replaces the r1-r3 design that rebuilt the table in sorted-key order
+    every step: that paid a [M,4,21] carry gather (~6 ns per gathered index
+    on the measured cost law) even when nothing changed. Here the steady
+    state (identical key list — every settled or sleeping step) short-
+    circuits to a no-op under lax.cond, and a changing step costs a k-ary
+    key match plus O(P) int scatters — no point-data movement at all.
+
+    Reference analogue: contact_manifold_map lookup + manifold entity
+    create/destroy (collision/contact_manifold_map.hpp, broadphase.cpp
+    destroy_separated_manifolds)."""
     from ..ops.search import kary_searchsorted
-    idx = kary_searchsorted(old.key, keys, side="left", k=16)
-    idx = jnp.clip(idx, 0, old.key.shape[0] - 1)
-    matched = (old.key[idx] == keys) & pair_valid & old.valid[idx]
-    claimed = jnp.zeros_like(old.valid).at[
-        jnp.where(matched, idx, 0)].max(matched)
-    dropped = old.valid & ~claimed
+    M = old.key.shape[0]
+    P = keys.shape[0]
+    body_a = body_a.astype(jnp.int32)
+    body_b = body_b.astype(jnp.int32)
 
-    f = lambda x: x.astype(jnp.float32)[..., None]
-    pk = jnp.concatenate([
-        old.pivot_a, old.pivot_b, old.local_normal,       # 0:3, 3:6, 6:9
-        f(old.normal_attachment), f(old.distance),        # 9, 10
-        f(old.lifetime), f(old.normal_impulse),           # 11, 12
-        old.friction_impulse, f(old.spin_impulse),        # 13:15, 15
-        old.roll_impulse, f(old.point_valid),             # 16:18, 18
-        f(old.friction_scale), f(old.restitution_scale),  # 19, 20
-    ], axis=-1)
-    g = jnp.where(matched[:, None, None], pk[idx], 0.0)
+    same = jnp.all(keys == old.sort_key[:P]) \
+        & jnp.all(pair_valid == old.sort_pvalid[:P])
 
-    return ContactTable(
-        key=keys,
-        body_a=body_a.astype(jnp.int32),
-        body_b=body_b.astype(jnp.int32),
-        valid=pair_valid,
-        point_valid=g[..., 18] > 0.5,
-        pivot_a=g[..., 0:3],
-        pivot_b=g[..., 3:6],
-        local_normal=g[..., 6:9],
-        normal_attachment=g[..., 9].astype(jnp.int32),
-        distance=g[..., 10],
-        lifetime=g[..., 11].astype(jnp.int32),
-        normal_impulse=g[..., 12],
-        friction_impulse=g[..., 13:15],
-        spin_impulse=g[..., 15],
-        roll_impulse=g[..., 16:18],
-        friction_scale=g[..., 19],
-        restitution_scale=g[..., 20],
-    ), dropped
+    def fast(_):
+        return old, jnp.zeros((M,), bool), jnp.zeros((), jnp.int32)
+
+
+    def full(_):
+        idx = kary_searchsorted(old.sort_key, keys, side="left", k=16)
+        idxc = jnp.clip(idx, 0, M - 1)
+        slot_m = old.sort_slot[idxc]
+        found = (old.sort_key[idxc] == keys) & pair_valid & (slot_m < M)
+        slot_mc = jnp.where(found, slot_m, 0)
+        matched = found & old.valid[slot_mc]
+        slot_mc = jnp.where(matched, slot_mc, 0)
+
+        keep = jnp.zeros((M,), bool).at[
+            jnp.where(matched, slot_mc, 0)].max(matched)
+        dropped_slots = old.valid & ~keep
+
+        # allocate freed slots to new pairs (both ascending -> deterministic)
+        is_new = pair_valid & ~matched
+        new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        from .broadphase import _compact
+        free_slot, free_cnt = _compact(~keep, M)
+        slot_n = free_slot[jnp.clip(new_rank, 0, M - 1)]
+        alloc = is_new & (new_rank < free_cnt) & (slot_n >= 0)
+        n_dropped = (jnp.sum(is_new) - jnp.sum(alloc)).astype(jnp.int32)
+
+        written = matched | alloc
+        slot_w = jnp.where(matched, slot_mc,
+                           jnp.where(alloc, jnp.clip(slot_n, 0, M - 1), M))
+        slot_w = jnp.where(written, slot_w, M)
+
+        tab = dataclasses.replace(
+            old,
+            key=old.key.at[slot_w].set(keys, mode="drop"),
+            body_a=old.body_a.at[slot_w].set(body_a, mode="drop"),
+            body_b=old.body_b.at[slot_w].set(body_b, mode="drop"),
+            valid=keep.at[slot_w].set(written, mode="drop"),
+            # dead and freshly reallocated slots lose their points; all
+            # other persistent columns are gated by point_valid downstream
+            point_valid=old.point_valid & keep[:, None],
+            sort_key=_padM(keys, M, INVALID_KEY),
+            sort_slot=_padM(slot_w, M, M),
+            sort_pvalid=_padM(pair_valid, M, False),
+        )
+        return tab, dropped_slots, n_dropped
+
+    tab, dropped_slots, n_dropped = jax.lax.cond(same, fast, full, None)
+    return tab, dropped_slots, n_dropped, same
+
+
+def _padM(x, M, fill):
+    P = x.shape[0]
+    if P == M:
+        return x
+    return jnp.concatenate([x, jnp.full((M - P,), fill, x.dtype)])
 
 
 def _manifold_score(p0, p1, p2, p3):
@@ -163,17 +198,22 @@ def merge_points(man: ContactTable, new_pivot_a, new_pivot_b, new_local_normal,
         d2_eff = d2_direct
 
     nearest_n = jnp.argmin(d2_eff, axis=-1)                      # [M,O]
-    nearest_d2 = jnp.take_along_axis(d2_eff, nearest_n[..., None], -1)[..., 0]
+    nearest_d2 = jnp.min(d2_eff, axis=-1)
     claims = jnp.isfinite(nearest_d2)                            # [M,O]
 
+    # one-hot of each existing point's nearest fresh point — selections
+    # along the tiny 4-point axis are arithmetic sums, never gathers
+    # (a [M,4]-wide take_along_axis costs ~6 ns/index on this runtime)
+    near_oh = (nearest_n[:, :, None] == jnp.arange(Nn)[None, None, :])
+
     # dedupe: each fresh point keeps its closest claimant
-    match_mat = claims[:, :, None] & (
-        nearest_n[:, :, None] == jnp.arange(Nn)[None, None, :])  # [M,O,N]
+    match_mat = claims[:, :, None] & near_oh                     # [M,O,N]
     cost = jnp.where(match_mat, d2_eff, jnp.inf)
     winner_o = jnp.argmin(cost, axis=1)                          # [M,N]
     won = jnp.isfinite(jnp.min(cost, axis=1))                    # [M,N] merged fresh
-    matched = claims & (jnp.take_along_axis(winner_o, nearest_n, axis=1)
-                        == jnp.arange(O)[None, :])               # [M,O]
+    winner_at_nearest = jnp.sum(jnp.where(near_oh, winner_o[:, None, :], 0),
+                                axis=-1)                         # [M,O]
+    matched = claims & (winner_at_nearest == jnp.arange(O)[None, :])
 
     # --- adopt fresh geometry for matched slots (packed) ---
     f = lambda x: x.astype(jnp.float32)[..., None]
@@ -187,7 +227,8 @@ def merge_points(man: ContactTable, new_pivot_a, new_pivot_b, new_local_normal,
         f(man.normal_attachment), f(man.distance),
         man.friction_scale[..., None],
         man.restitution_scale[..., None]], axis=-1)              # [M,O,13]
-    adopted = jnp.take_along_axis(new_geom, nearest_n[..., None], axis=1)
+    adopted = jnp.sum(jnp.where(near_oh[..., None], new_geom[:, None, :, :],
+                                0.0), axis=2)                    # [M,O,13]
     geom = jnp.where(matched[..., None], adopted, old_geom)
 
     # --- step 2: keep-or-break unmatched existing points ---

@@ -172,12 +172,11 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     frozen = inactive[man.body_a] & inactive[man.body_b]
     # reference detect_collision pre-check (collision_util.cpp:440-475):
     # TIGHT AABBs inflated by contact_breaking_threshold. Candidate pairs
-    # come from the carried FAT boxes (jitter stability), so without this
-    # gate the fat margin would inflate every bucket's live width; far pairs
-    # can produce no points (kernels bail at distance > threshold) and any
-    # stale carried points are necessarily beyond breaking — prune them,
-    # matching the reference's unmatched-point destruction
-    # (collision_util.cpp:397-413).
+    # come from the admission boxes (tight + velocity sweep + separation
+    # margin), so pairs in the margin band can produce no points (kernels
+    # bail at distance > threshold) and any stale carried points are
+    # necessarily beyond breaking — prune them, matching the reference's
+    # unmatched-point destruction (collision_util.cpp:397-413).
     from ..config import CONTACT_BREAKING_THRESHOLD as _BT
     pre = (jnp.all(state.aabb_min[man.body_a] - _BT
                    <= state.aabb_max[man.body_b], -1)
@@ -236,23 +235,34 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
             Kp = -(-this_cap // BLK) * BLK
             ka_p = jnp.pad(ka, (0, Kp - this_cap))
             kb_p = jnp.pad(kb, (0, Kp - this_cap))
-            H = max(BLK, (Kp // 2 // BLK) * BLK)
 
             def run_chunk(ka_c, kb_c):
                 return collide_support_pallas(
                     packed_t[:, ka_c], packed_t[:, kb_c], dims_t,
                     float(threshold), rim_axes=has_cyl)
 
-            if Kp > H:
-                n_live = jnp.sum(want)
-                out0 = run_chunk(ka_p[:H], kb_p[:H])
-                out1 = jax.lax.cond(
-                    n_live > H,
-                    lambda: run_chunk(ka_p[H:], kb_p[H:]),
-                    lambda: jnp.zeros((Kp - H, 4, 12)))
-                blk_out = jnp.concatenate([out0, out1])[:this_cap]
-            else:
-                blk_out = run_chunk(ka_p, kb_p)[:this_cap]
+            # chunk ladder: the bucket runs in 4 quarter-width chunks, each
+            # EXECUTING (lax.cond) only when the live count spills into it —
+            # a mostly-asleep world pays one quarter-chunk, a settled pile
+            # ~3, only a full table all 4 (cost tracks the awake pair count,
+            # reference: sleeping view exclusion island_manager.cpp:541-596)
+            H = max(BLK, (Kp // 4 // BLK) * BLK)
+            n_live = jnp.sum(want)
+            parts = []
+            start = 0
+            while start < Kp:
+                end = min(start + H, Kp)
+                sz = end - start
+                if start == 0:
+                    parts.append(run_chunk(ka_p[:end], kb_p[:end]))
+                else:
+                    parts.append(jax.lax.cond(
+                        n_live > start,
+                        lambda s=start, e=end: run_chunk(ka_p[s:e], kb_p[s:e]),
+                        lambda s=start, e=end: jnp.zeros((e - s, 4, 12))))
+                start = end
+            blk_out = jnp.concatenate(parts)[:this_cap] if len(parts) > 1 \
+                else parts[0][:this_cap]
             pv = (blk_out[..., 11] > 0.5) & sel_ok[:, None]
             blk = jnp.concatenate([
                 blk_out[..., :11],
@@ -307,34 +317,72 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
         ], axis=-1)
         new_pts = new_pts.at[sel].set(blk, mode="drop")
 
-    new_pivot_a = new_pts[..., 0:3]
-    new_pivot_b = new_pts[..., 3:6]
-    new_normal = new_pts[..., 6:9]
-    new_attach = new_pts[..., 9].astype(jnp.int32)
-    new_dist = new_pts[..., 10]
-    new_valid = new_pts[..., 11] > 0.5
-    new_scales = new_pts[..., 12:14]
-
-    # store normal in attachment body's object space (reference:
-    # contact_point_geometry local normal; re-rotated at row build and in the
-    # position solver). attachment NONE keeps the world normal.
-    orn_a = state.orn[man.body_a][:, None, :]
-    orn_b = state.orn[man.body_b][:, None, :]
-    local_n = jnp.where(
-        (new_attach == 1)[..., None], quat.rotate_inv(orn_a, new_normal),
-        jnp.where((new_attach == 2)[..., None], quat.rotate_inv(orn_b, new_normal),
-                  new_normal))
-
-    # pair poses for point retention (drift measurement + rolling matching);
     # rolling analogue of the reference's rolling_tag: round dynamic shapes
     rolling = (((state.shape_type == S.SPHERE) | (state.shape_type == S.CAPSULE)
                 | (state.shape_type == S.CYLINDER)) & state.is_dynamic)
     org = state.origin_pos()
-    pose = (org[man.body_a], orn_a[:, 0], state.angvel[man.body_a],
-            rolling[man.body_a],
-            org[man.body_b], orn_b[:, 0], state.angvel[man.body_b],
-            rolling[man.body_b])
 
-    return merge_points(man, new_pivot_a, new_pivot_b, local_n, new_attach,
-                        new_dist, new_valid, pose=pose, dt=dt,
-                        scales=new_scales), dropped
+    def _merge(man_t, pts_t):
+        """Point merge for a (possibly sliced) table: fresh-point unpack,
+        object-space normal storage (reference: contact_point_geometry local
+        normal; re-rotated at row build and in the position solver —
+        attachment NONE keeps the world normal), pair poses for retention."""
+        new_pivot_a = pts_t[..., 0:3]
+        new_pivot_b = pts_t[..., 3:6]
+        new_normal = pts_t[..., 6:9]
+        new_attach = pts_t[..., 9].astype(jnp.int32)
+        new_dist = pts_t[..., 10]
+        new_valid = pts_t[..., 11] > 0.5
+        new_scales = pts_t[..., 12:14]
+        orn_a = state.orn[man_t.body_a][:, None, :]
+        orn_b = state.orn[man_t.body_b][:, None, :]
+        local_n = jnp.where(
+            (new_attach == 1)[..., None], quat.rotate_inv(orn_a, new_normal),
+            jnp.where((new_attach == 2)[..., None],
+                      quat.rotate_inv(orn_b, new_normal), new_normal))
+        pose = (org[man_t.body_a], orn_a[:, 0], state.angvel[man_t.body_a],
+                rolling[man_t.body_a],
+                org[man_t.body_b], orn_b[:, 0], state.angvel[man_t.body_b],
+                rolling[man_t.body_b])
+        return merge_points(man_t, new_pivot_a, new_pivot_b, local_n,
+                            new_attach, new_dist, new_valid, pose=pose,
+                            dt=dt, scales=new_scales)
+
+    # merged per-point columns (everything _merge may rewrite)
+    _MERGE_FIELDS = ("point_valid", "pivot_a", "pivot_b", "local_normal",
+                     "normal_attachment", "distance", "lifetime",
+                     "normal_impulse", "friction_impulse", "spin_impulse",
+                     "roll_impulse", "friction_scale", "restitution_scale")
+
+    # width ladder: merge only the ACTIVE pairs (cls >= 0 — awake and near).
+    # A mostly-asleep world compacts them into an M/8 prefix and merges a
+    # gathered slice (frozen pairs keep their points untouched — they are
+    # slot-stable); wider worlds run the classic full-width merge.
+    Ksmall = max(256, -(-(M // 8) // 256) * 256)
+    act = cls >= 0
+
+    def merge_full(_):
+        return _merge(man, new_pts)
+
+    def merge_small(_):
+        sel, sel_ok, _d = _compact_sel(act, Ksmall, M)
+        sel_c = jnp.minimum(sel, M - 1)
+        man_k = dataclasses.replace(
+            man,
+            **{f: getattr(man, f)[sel_c] for f in _MERGE_FIELDS},
+            body_a=man.body_a[sel_c], body_b=man.body_b[sel_c],
+            valid=man.valid[sel_c] & sel_ok,
+            key=man.key[sel_c])
+        merged = _merge(man_k, new_pts[sel_c])
+        sel_w = jnp.where(sel_ok, sel_c, M)
+        return dataclasses.replace(
+            man, **{f: getattr(man, f).at[sel_w].set(getattr(merged, f),
+                                                     mode="drop")
+                    for f in _MERGE_FIELDS})
+
+    if Ksmall < M:
+        man = jax.lax.cond(jnp.sum(act) <= Ksmall, merge_small, merge_full,
+                           None)
+    else:
+        man = merge_full(None)
+    return man, dropped

@@ -39,7 +39,17 @@ CONVEX_MESH_RELEVANT_DIRECTION_TOLERANCE = 0.0006
 # reference's tree-fat reach is 0.1 but its manifold lifetime is decided on
 # tight AABBs; ours rides the candidate list, so the margin directly sets
 # slot pressure).
-BROADPHASE_FAT_MARGIN = 0.04
+BROADPHASE_FAT_MARGIN = 0.04  # legacy (checkpoint v4 carried fat boxes)
+# Pair admission: a pair occupies a manifold slot only while the bodies'
+# swept tight AABBs, each inflated by this margin, overlap. The COMBINED
+# gap (2x this) equals the reference's manifold-destruction threshold
+# (broadphase.hpp m_separation_threshold = 1.3 * contact_breaking): both
+# designs keep manifolds alive out to ~0.026 of separation, beyond which
+# no contact point can exist (points break at contact_breaking = 0.02).
+# Measured: every narrowphase/carry/solver width scales with the pair
+# count this margin admits (~8/body settled at 0.013/side vs ~10 at
+# 0.026/side on the 2k mixed pile).
+PAIR_SEPARATION_MARGIN = 0.65 * CONTACT_BREAKING_THRESHOLD
 
 GRAVITY_EARTH = (0.0, -9.8, 0.0)  # reference: include/edyn/math/constants.hpp
 LARGE_SCALAR = 1e9  # stiffness above this => rigid contact

@@ -23,11 +23,14 @@ from ..core.state import JointTable, MAX_JOINT_ROWS
 from ..math import quat, vec
 from ..dynamics.solver import BIG, degree_counts
 
-# Positional-error reduction applied uniformly to all joint rows. DOCUMENTED
-# DIVERGENCE: the reference defaults each constraint_row_options.erp to 0.2
-# but lets individual constraints override it (constraint_row_options.hpp:11);
-# here all joint rows share this constant and the joint NGS pass supplies the
-# remaining stiffness, which measures equivalent steady-state error.
+# Default positional-error reduction (reference:
+# constraint_row_options.hpp:15, erp = 0.2). Per-row overrides are applied
+# inline where the reference applies them: the generic constraint's enabled
+# linear-limit rows use erp = 0.9 (generic_constraint.cpp:60, see the
+# nz_lim select below), and limit rows carry their own restitution in the
+# rhs — hinge limits (hinge_constraint.cpp:112-113), cvjoint twist limits,
+# generic DOF limits — via rhs = -(error*erp + relvel*(1+restitution)),
+# matching constraint_row.cpp:21 exactly.
 ERP = 0.2
 
 
@@ -50,6 +53,25 @@ def _dc(cls):
     return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
 
 
+# Sequential solve groups (by row slot): {0,1,2} linear lock rows,
+# {3,4} transverse angular rows, {5+} axial rows (limits, friction, bump
+# stops, springs). Groups solve one after another within each velocity
+# iteration — rows in DIFFERENT groups couple strongly (a linear row's
+# lever arm turns about the same axis a limit row controls), so parallel
+# block-Jacobi across them either under-relaxes (row-count mass splitting:
+# a hinge converged ~6x slower, leaving warm-started limit impulses to pump
+# energy across steps) or overshoots (no splitting). Within a group, one
+# joint's rows are mutually orthogonal (or impulse-bounded), so the group
+# solves in parallel with per-JOINT degree splitting — near-sequential-GS
+# convergence at 3 gather/scatter rounds per iteration over the (small)
+# joint table.
+N_GROUPS = 3
+
+
+def _slot_group(slot: int) -> int:
+    return 0 if slot < 3 else (1 if slot < 5 else 2)
+
+
 @_dc
 class JointRows:
     """Flattened [J*MAX_JOINT_ROWS] generic rows."""
@@ -69,6 +91,7 @@ class JointRows:
     rhs: jnp.ndarray
     lower: jnp.ndarray
     upper: jnp.ndarray
+    group: jnp.ndarray  # [R] int32 sequential solve group (see N_GROUPS)
 
 
 # ---------------------------------------------------------------------------
@@ -492,9 +515,23 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
     Iw = state.inertia_world_inv()
     inv_IA = Iw[a_r] * valid_r[:, None, None]
     inv_IB = Iw[b_r] * valid_r[:, None, None]
+    slot_groups = jnp.asarray([_slot_group(s) for s in range(MAX_JOINT_ROWS)],
+                              jnp.int32)
+    group_r = jnp.tile(slot_groups, (Jn,))
     if mass_splitting:
-        deg = degree_counts(state.capacity, [a_r, b_r], [valid_r, valid_r])
-        degA, degB = deg[a_r], deg[b_r]
+        # degree = incident JOINTS per body PER SOLVE GROUP (see N_GROUPS):
+        # groups solve sequentially, and within a group one joint's rows
+        # are orthogonal (or impulse-bounded), so only same-group rows of
+        # DIFFERENT joints split the mass.
+        degA = jnp.ones((R,))
+        degB = jnp.ones((R,))
+        for g in range(N_GROUPS):
+            in_g = slot_groups == g
+            jhas = jnp.any(rvalid & in_g[None, :], axis=1) & jvalid
+            deg_g = degree_counts(state.capacity, [a, b], [jhas, jhas])
+            sel = in_g[None, :].repeat(Jn, 0).reshape(-1)
+            degA = jnp.where(sel, deg_g[a_r], degA)
+            degB = jnp.where(sel, deg_g[b_r], degB)
     else:
         degA = degB = 1.0
     fJlA, fJaA, fJlB, fJaB = flat(JlA), flat(JaA), flat(JlB), flat(JaB)
@@ -508,7 +545,7 @@ def build_joint_rows(state, dt: float, mass_splitting: bool = True) -> JointRows
         JlA=fJlA, JaA=fJaA, JlB=fJlB, JaB=fJaB,
         inv_mA=inv_mA, inv_mB=inv_mB, tA=tA, tB=tB,
         eff_mass=em, rhs=flat(rhs), lower=flat(lower),
-        upper=flat(upper)), new_angle
+        upper=flat(upper), group=group_r), new_angle
 
 
 def _apply(rows: JointRows, dlam, dvw):
@@ -526,16 +563,23 @@ def warm_start_joints(rows: JointRows, impulses, dvw):
 
 
 def solve_joints_once(rows: JointRows, impulses, dvw):
+    """One velocity iteration over the joint rows: the N_GROUPS solve
+    groups run SEQUENTIALLY (each sees the previous group's deltas), rows
+    within a group in parallel — near-GS convergence for the strongly
+    coupled linear/transverse/axial directions of a single joint."""
     from ..dynamics.solver import gather_ab
     imp = impulses.reshape(-1)
-    dva, dwa, dvb, dwb = gather_ab(dvw, rows.ab)
-    drel = (vec.dot(rows.JlA, dva) + vec.dot(rows.JaA, dwa)
-            + vec.dot(rows.JlB, dvb) + vec.dot(rows.JaB, dwb))
-    dlam = (rows.rhs - drel) * rows.eff_mass
-    new = jnp.clip(imp + dlam, rows.lower, rows.upper)
-    dlam = new - imp
-    dvw = _apply(rows, dlam, dvw)
-    return new.reshape(impulses.shape), dvw
+    for g in range(N_GROUPS):
+        in_g = rows.group == g
+        dva, dwa, dvb, dwb = gather_ab(dvw, rows.ab)
+        drel = (vec.dot(rows.JlA, dva) + vec.dot(rows.JaA, dwa)
+                + vec.dot(rows.JlB, dvb) + vec.dot(rows.JaB, dwb))
+        dlam = (rows.rhs - drel) * rows.eff_mass
+        new = jnp.clip(imp + dlam, rows.lower, rows.upper)
+        dlam = jnp.where(in_g, new - imp, 0.0)
+        imp = jnp.where(in_g, new, imp)
+        dvw = _apply(rows, dlam, dvw)
+    return imp.reshape(impulses.shape), dvw
 
 
 def solve_joint_positions(state, num_iterations: int = 3,

@@ -66,8 +66,12 @@ class WorldBuilder:
     requested sizes; the reference's dynamic entity creation maps to claiming
     pre-allocated slots (SURVEY §7 hard part 5)."""
 
-    def __init__(self, gravity=(0.0, -9.8, 0.0)):
-        self.default_gravity = np.asarray(gravity, np.float64)
+    def __init__(self, gravity=None):
+        # None = follow the world settings' gravity at make_world time
+        # (reference: rigidbody_def picks up edyn::get_gravity(registry));
+        # an explicit value here overrides for every body built.
+        self.default_gravity = (None if gravity is None
+                                else np.asarray(gravity, np.float64))
         self.defs: list[RigidBodyDef] = []
         self.joints: list[dict] = []
         self._polyhedra: list[PolyhedronShape] = []
@@ -208,8 +212,10 @@ class WorldBuilder:
                 com_w = _qrot(np.asarray(orn[i], np.float64), com[i])
                 pos[i] = np.asarray(d.position) + com_w
                 linvel[i] = np.asarray(d.linvel) + np.cross(angvel[i], com_w)
+            default_g = (self.default_gravity if self.default_gravity
+                         is not None else np.asarray((0.0, -9.8, 0.0)))
             gravity[i] = d.gravity if d.gravity is not None else (
-                self.default_gravity if d.kind == KIND_DYNAMIC else 0.0)
+                default_g if d.kind == KIND_DYNAMIC else 0.0)
             sleeping_dis[i] = d.sleeping_disabled
             networked[i] = d.networked
             group[i] = d.collision_group

@@ -42,10 +42,19 @@ class ContactTable:
     pair key ``a * N + b`` used for sort/searchsorted persistence matching
     (replaces contact_manifold_map, include/edyn/collision/contact_manifold_map.hpp).
     """
-    key: jnp.ndarray            # [M] uint32, INVALID_KEY when invalid (sorted ascending, invalid last)
+    key: jnp.ndarray            # [M] uint32, INVALID_KEY when invalid.
+                                # SLOT-STABLE: a manifold keeps its slot for
+                                # its whole life (persistent data never moves;
+                                # a steady pair set costs zero carry work).
     body_a: jnp.ndarray         # [M] int32
     body_b: jnp.ndarray         # [M] int32
     valid: jnp.ndarray          # [M] bool
+    # sorted view, rebuilt each step from the broadphase key list: maps the
+    # ascending admitted pair keys to their slots (M = not allocated). This
+    # replaces the reference's contact_manifold_map hash lookup.
+    sort_key: jnp.ndarray       # [M] uint32 ascending, INVALID_KEY pad
+    sort_slot: jnp.ndarray      # [M] int32, == M when the key has no slot
+    sort_pvalid: jnp.ndarray    # [M] bool — pair_valid of each sorted entry
     point_valid: jnp.ndarray    # [M,4] bool
     pivot_a: jnp.ndarray        # [M,4,3] contact point in A's object space
     pivot_b: jnp.ndarray        # [M,4,3] contact point in B's object space
@@ -69,6 +78,9 @@ class ContactTable:
             body_a=jnp.zeros((M,), jnp.int32),
             body_b=jnp.zeros((M,), jnp.int32),
             valid=jnp.zeros((M,), bool),
+            sort_key=jnp.full((M,), jnp.iinfo(jnp.uint32).max, jnp.uint32),
+            sort_slot=jnp.full((M,), M, jnp.int32),
+            sort_pvalid=jnp.zeros((M,), bool),
             point_valid=jnp.zeros((M, MAX_CONTACTS), bool),
             pivot_a=jnp.zeros((M, MAX_CONTACTS, 3)),
             pivot_b=jnp.zeros((M, MAX_CONTACTS, 3)),
@@ -224,6 +236,19 @@ class WorldState:
     island_id: jnp.ndarray    # [N] int32
     sleep_timer: jnp.ndarray  # [N]
     asleep: jnp.ndarray       # [N] bool
+    # island steady-state skip: previous step's contact-edge mask (valid
+    # manifolds holding points) and whether the label propagation reached a
+    # fixpoint on an unchanged edge set. When the pair list is unchanged
+    # (update_slots fast path) AND the pointed mask matches AND labels are
+    # converged, the whole label-propagation block is skipped under
+    # lax.cond — the reference's "sleeping islands cost nothing" analogue
+    # for the island phase itself (island_manager keeps its graph
+    # incrementally; recompute only happens on edge events).
+    edge_pointed: jnp.ndarray   # [M] bool
+    labels_stable: jnp.ndarray  # [] bool — last full propagation converged
+    island_stable_steps: jnp.ndarray  # [] int32 — consecutive steps with an
+                                # unchanged edge set (pair list + pointed
+                                # mask); host lifecycle mutators reset it
     # sub-tables
     contacts: ContactTable
     joints: JointTable
@@ -244,7 +269,9 @@ class WorldState:
     # surfaced, not swallowed): [0] broadphase pairs dropped, [1] narrowphase
     # bucket candidates dropped, [2] solver contact rows dropped,
     # [3] sweep-broadphase beyond-window alarms (conservative, may be benign)
-    overflow: jnp.ndarray     # [4] int32
+    overflow: jnp.ndarray     # [5] int32: broadphase pairs, narrowphase
+                              # candidates, contact rows, sweep alarms,
+                              # manifold slots
 
     # --- convenience ---
     @property
@@ -314,6 +341,9 @@ class WorldState:
             island_id=jnp.full((N,), -1, jnp.int32),
             sleep_timer=jnp.zeros((N,)),
             asleep=jnp.zeros((N,), bool),
+            edge_pointed=jnp.zeros((M,), bool),
+            labels_stable=jnp.zeros((), bool),
+            island_stable_steps=jnp.zeros((), jnp.int32),
             contacts=ContactTable.zeros(M),
             joints=JointTable.zeros(J),
             poly=poly if poly is not None else PolyTable.empty(),
@@ -324,7 +354,7 @@ class WorldState:
             user={},
             step_count=jnp.zeros((), jnp.int32),
             sim_time=jnp.zeros(()),
-            overflow=jnp.zeros((4,), jnp.int32),
+            overflow=jnp.zeros((5,), jnp.int32),
         )
 
     def origin_pos(self):

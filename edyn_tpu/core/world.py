@@ -30,13 +30,18 @@ def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
     present = frozenset(int(t) for t in np.unique(stypes[valid]))
     if max_pairs is None:
         n = int(valid.sum())
-        max_pairs = max(256, min(14 * n, 1 << 18))
+        # tight admission (PAIR_SEPARATION_MARGIN carried boxes) measures
+        # ~11 pairs/body on the settled 10k mixed pile (AABB slop around
+        # rotated shapes admits more than the touching ~6/body); 12/body +
+        # the overflow counters replaces the old fat-margin 14/body sizing
+        max_pairs = max(256, min(12 * n, 1 << 19))
     max_pairs = min(max_pairs, state.contacts.key.shape[0])
     kw.setdefault("bucket_cap", max(512, max_pairs // 2))
-    # live contact points run ~1-2 per valid pair in practice (4 is the
-    # padded max); 1.5x pairs is generous and the contact_rows overflow
-    # counter flags any scene that needs more
-    kw.setdefault("max_rows", (3 * max_pairs) // 2)
+    # live contact points run ~0.75 per live pair on settled piles (4 is
+    # the padded max); 1x pairs is generous and the contact_rows overflow
+    # counter flags any scene that needs more. Every solver-phase gather
+    # scales with this width (measured ~6 ns per gathered index).
+    kw.setdefault("max_rows", max_pairs)
     has_sr = bool((np.asarray(state.spin_friction)[valid] > 0).any()
                   or (np.asarray(state.roll_friction)[valid] > 0).any()
                   or (np.asarray(state.mix_table.vals)[:, 2:4] > 0).any())
@@ -240,6 +245,7 @@ class World:
         # island_manager on_construct wake)
         self.wake_up(int(kw["body_a"]))
         self.wake_up(int(kw["body_b"]))
+        self._reset_island_stability()
         return i
 
     def destroy_joint(self, j: int):
@@ -254,7 +260,19 @@ class World:
             jt, valid=jt.valid.at[j].set(False),
             jtype=jt.jtype.at[j].set(0),
             impulses=jt.impulses.at[j].set(0.0)))
+        self._reset_island_stability()
         return self
+
+    def _reset_island_stability(self):
+        """Island-graph edges changed outside the step (joint/body
+        lifecycle): invalidate the steady-state label skip so the next
+        2*RESET_PERIOD steps recompute labels (see stepper.physics_step_impl;
+        pair-list changes are detected on device, joint/body table edits are
+        not)."""
+        self.state = dataclasses.replace(
+            self.state,
+            island_stable_steps=jnp.zeros((), jnp.int32),
+            labels_stable=jnp.zeros((), bool))
 
     def exclude_collision(self, a: int, b: int):
         """Runtime collision exclusion (reference:
@@ -342,11 +360,12 @@ class World:
         man = st.contacts
         lo, hi = (a, b) if a < b else (b, a)
         key = np.uint64(lo) * np.uint64(st.capacity) + np.uint64(hi)
+        # the table is slot-stable (not key-sorted): host-side exact match
         keys = np.asarray(man.key).astype(np.uint64)
-        idx = int(np.searchsorted(keys, key))
-        if idx >= keys.shape[0] or keys[idx] != key \
-                or not bool(np.asarray(man.valid)[idx]):
+        hits = np.nonzero((keys == key) & np.asarray(man.valid))[0]
+        if hits.size == 0:
             return None
+        idx = int(hits[0])
         pv = np.asarray(man.point_valid[idx])
         if not pv.any():
             return None
@@ -390,7 +409,8 @@ class World:
         return {"broadphase_pairs": int(ovf[0]),
                 "narrowphase_candidates": int(ovf[1]),
                 "contact_rows": int(ovf[2]),
-                "broadphase_window_alarms": int(ovf[3])}
+                "broadphase_window_alarms": int(ovf[3]),
+                "manifold_slots": int(ovf[4]) if ovf.shape[0] > 4 else 0}
 
     def query_aabb(self, lo, hi, include_non_procedural=True):
         """reference: include/edyn/collision/query_aabb.hpp."""
@@ -483,12 +503,14 @@ class World:
         if m is not None and (m.spin_friction > 0 or m.roll_friction > 0) \
                 and not self.meta.has_spin_roll:
             self.meta = dataclasses.replace(self.meta, has_spin_roll=True)
+        self._reset_island_stability()
         return idx
 
     def destroy(self, i):
         """reference: clear_rigidbody."""
         from .spawn import destroy_rigidbody
         self.state = destroy_rigidbody(self.state, i)
+        self._reset_island_stability()
         return self
 
     def raycast(self, p0, p1):
@@ -568,8 +590,12 @@ def make_world(builder: WorldBuilder, settings: Settings = Settings(),
     table share the same (sorted-by-key) layout."""
     if max_pairs is None:
         n = len(builder.defs)
-        max_pairs = max(256, min(14 * n, 1 << 18))
+        max_pairs = max(256, min(12 * n, 1 << 19))
     finalize_kw.setdefault("max_manifolds", max_pairs)
+    # bodies whose def didn't pin a gravity follow the world settings
+    # (reference: rigidbody_def defaults to edyn::get_gravity(registry))
+    if builder.default_gravity is None:
+        builder.default_gravity = np.asarray(settings.gravity, np.float64)
     state = builder.finalize(capacity=capacity, **finalize_kw)
     w = World(state, settings, derive_meta(state, max_pairs))
     # per-component replication policies for user components (reference:

@@ -32,8 +32,12 @@ RESET_PERIOD = 8  # steps between label re-seeds (split correctness)
 
 
 def compute_islands(state, man, num_iters: int = 16, warm_start: bool = True):
-    """Returns per-body island labels in [0, N); non-dynamic bodies get their
-    own index (they belong to many islands; reference: multi_island_resident).
+    """Returns ``(labels, converged)``: per-body island labels in [0, N)
+    (non-dynamic bodies get their own index — they belong to many islands;
+    reference: multi_island_resident) and a scalar bool that is True when the
+    final iteration changed nothing, i.e. the labels are a fixpoint of the
+    propagation (every live edge has equal endpoint labels). The steady-state
+    skip (update_sleep) only trusts stored labels once they converged.
 
     ``warm_start`` seeds from the previous step's labels so a few iterations
     per step suffice (propagation continues across steps); every RESET_PERIOD
@@ -56,9 +60,9 @@ def compute_islands(state, man, num_iters: int = 16, warm_start: bool = True):
         return a, b, both_dyn
 
     # contact edges are NEAR-CONTACT manifolds only (ones holding points):
-    # far candidate pairs from the fat broadphase boxes have no reference
-    # equivalent (reference manifolds exist within ~1.3*contact_breaking of
-    # contact) and must not merge islands from ~2*FAT_MARGIN away
+    # pointless pairs at the admission margin have no reference equivalent
+    # (reference manifolds exist within ~1.3*contact_breaking of contact)
+    # and must not merge islands across the margin gap
     ca, cb, cv = edges(man.body_a, man.body_b,
                        man.valid & jnp.any(man.point_valid, -1))
     ja, jb, jv = edges(state.joints.body_a, state.joints.body_b,
@@ -74,12 +78,14 @@ def compute_islands(state, man, num_iters: int = 16, warm_start: bool = True):
     eab = jnp.concatenate([ea, eb])
     evv = jnp.concatenate([ev, ev])
     idx_safe = jnp.where(evv, eab, 0)
+    prev = labels
     for _ in range(num_iters):
+        prev = labels
         l2 = labels[eab]
         m = jnp.where(ev, jnp.minimum(l2[:E], l2[E:]), big)
         labels = labels.at[idx_safe].min(jnp.concatenate([m, m]))
         labels = jnp.minimum(labels, labels[labels])  # pointer jumping
-    return labels
+    return labels, jnp.all(labels == prev)
 
 
 def exact_island_mask(state, seeds) -> "jnp.ndarray":
@@ -122,7 +128,7 @@ def exact_island_mask(state, seeds) -> "jnp.ndarray":
 
 
 def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 4,
-                 wake_bodies=None):
+                 wake_bodies=None, skip_labels=None):
     """Recompute island labels, advance sleep timers, and derive the asleep
     mask. Sleeping bodies' velocities are zeroed (the reference removes them
     from every system via sleeping_tag view exclusion; here the mask gates the
@@ -130,11 +136,29 @@ def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 4,
 
     ``wake_bodies`` is an optional [N] bool mask of bodies whose island must
     be forced awake this step (a contact-graph edge involving them was
-    destroyed — reference island_manager.cpp:74-98 wake-on-edge-destroy)."""
-    labels = compute_islands(state, man, num_iters)
+    destroyed — reference island_manager.cpp:74-98 wake-on-edge-destroy).
+
+    ``skip_labels`` (optional scalar bool) is the steady-state skip: when the
+    contact/joint edge set has been unchanged long enough that a re-seed
+    cycle completed within the stable window (stepper computes this from
+    ``island_stable_steps``) AND the stored labels converged, the entire
+    label propagation is bypassed under ``lax.cond`` and ``state.island_id``
+    is reused — the reference's incremental island graph, which only
+    recomputes on edge events (island_manager.cpp:74-98, :541-596)."""
+    import jax
+
+    def run(_):
+        return compute_islands(state, man, num_iters)
+
+    if skip_labels is None:
+        labels, converged = run(None)
+    else:
+        labels, converged = jax.lax.cond(
+            skip_labels & state.labels_stable,
+            lambda _: (state.island_id, jnp.asarray(True)), run, None)
     if not enable:
         return dataclasses.replace(
-            state, island_id=labels,
+            state, island_id=labels, labels_stable=converged,
             sleep_timer=jnp.zeros_like(state.sleep_timer),
             asleep=jnp.zeros_like(state.asleep))
 
@@ -170,5 +194,6 @@ def update_sleep(state, man, dt: float, enable: bool, num_iters: int = 4,
     asleep = (timer >= ISLAND_TIME_TO_SLEEP) & dyn
     linvel = jnp.where(asleep[:, None], 0.0, state.linvel)
     angvel = jnp.where(asleep[:, None], 0.0, state.angvel)
-    return dataclasses.replace(state, island_id=labels, sleep_timer=timer,
-                               asleep=asleep, linvel=linvel, angvel=angvel)
+    return dataclasses.replace(state, island_id=labels, labels_stable=converged,
+                               sleep_timer=timer, asleep=asleep,
+                               linvel=linvel, angvel=angvel)

@@ -22,15 +22,34 @@ from ..core.state import WorldState
 #     joint angle, params 20->60).
 # v3: contact keys int32 -> uint32, roll_axis column.
 # v4: carried fat broadphase boxes (bp_aabb_min/max), backfillable from v3.
-FORMAT_VERSION = 4
+# v5: slot-stable manifold table (contacts/sort_key|sort_slot|sort_pvalid,
+#     rebuilt from contacts/key on load), overflow counter 4 -> 5, island
+#     steady-skip tracking (edge_pointed/labels_stable/island_stable_steps —
+#     zero defaults just disengage the skip until the world re-stabilizes).
+FORMAT_VERSION = 5
 MIN_SUPPORTED_VERSION = 3
 
 # Leaves added after v3, backfilled with self-healing defaults when loading
-# an older checkpoint. The carried broadphase boxes default to "unseated"
-# (reversed bounds), which the next step re-seats from the tight AABBs.
+# an older checkpoint: fn(template_leaf, file_dict) -> array. The broadphase
+# admission boxes are recomputed every step, so reversed bounds self-heal;
+# the manifold sort view is reconstructed from the saved key column (v3/v4
+# tables were key-sorted, but an argsort is correct either way).
 _BACKFILL = {
-    "bp_aabb_min": lambda leaf: np.full(leaf.shape, 1e30, leaf.dtype),
-    "bp_aabb_max": lambda leaf: np.full(leaf.shape, -1e30, leaf.dtype),
+    "bp_aabb_min": lambda leaf, d: np.full(leaf.shape, 1e30, leaf.dtype),
+    "bp_aabb_max": lambda leaf, d: np.full(leaf.shape, -1e30, leaf.dtype),
+    "contacts/sort_key": lambda leaf, d: np.sort(d["contacts/key"]),
+    "contacts/sort_slot": lambda leaf, d: np.where(
+        np.sort(d["contacts/key"]) == np.iinfo(np.uint32).max,
+        leaf.shape[0], np.argsort(d["contacts/key"], kind="stable")
+    ).astype(np.int32),
+    "contacts/sort_pvalid": lambda leaf, d: np.asarray(
+        d["contacts/valid"])[np.argsort(d["contacts/key"], kind="stable")],
+    "overflow": lambda leaf, d: np.concatenate(
+        [np.asarray(d["overflow"], leaf.dtype),
+         np.zeros(leaf.shape[0] - d["overflow"].shape[0], leaf.dtype)]),
+    "edge_pointed": lambda leaf, d: np.zeros(leaf.shape, leaf.dtype),
+    "labels_stable": lambda leaf, d: np.zeros(leaf.shape, leaf.dtype),
+    "island_stable_steps": lambda leaf, d: np.zeros(leaf.shape, leaf.dtype),
 }
 
 
@@ -113,8 +132,10 @@ def load_world(path_or_file, template: Optional[WorldState] = None):
     leaves = []
     for path, leaf in flat:
         key = _path_key(path)
-        if key not in data and key in _BACKFILL:
-            leaves.append(jax.numpy.asarray(_BACKFILL[key](np.asarray(leaf))))
+        if key in _BACKFILL and (key not in data
+                                 or data[key].shape != leaf.shape):
+            leaves.append(jax.numpy.asarray(
+                _BACKFILL[key](np.asarray(leaf), data), dtype=leaf.dtype))
             continue
         arr = data[key]
         assert arr.shape == leaf.shape, f"{key}: {arr.shape} != {leaf.shape}"

@@ -36,6 +36,9 @@ class AsyncSimulation:
         self.pre_step_callback = pre_step_callback
         self.post_step_callback = post_step_callback
         self.steps_done = 0
+        self._ray_requests: list = []
+        self._ray_lock = threading.Lock()
+        self.raycast_batches = 0  # device programs issued for raycasts
 
     # -- lifecycle (reference: stepper_async ctor / simulation_worker::start)
     def start(self):
@@ -74,12 +77,39 @@ class AsyncSimulation:
         self.enqueue(lambda w: w.set_settings(**kw))
 
     def raycast_async(self, p0, p1, callback: Callable):
-        """Async raycast: runs against the worker's state between steps and
-        delivers the result via ``callback(result_dict)`` on the worker
-        thread (reference: stepper_async::raycast -> msg::raycast_request ->
-        worker raycast_service -> delegate, stepper_async.cpp:352-363,
+        """Async raycast: queued requests are COALESCED into one batched
+        device raycast between steps (the kernel is batched over rays), then
+        callbacks run on the worker thread (reference: stepper_async::raycast
+        -> msg::raycast_request -> the worker's raycast_service, which also
+        batches all queued rays through shared broad/narrow phases,
         raycast_service.cpp:118)."""
-        self.enqueue(lambda w: callback(w.raycast(p0, p1)))
+        with self._ray_lock:
+            self._ray_requests.append((p0, p1, callback))
+
+    def _flush_raycasts(self):
+        with self._ray_lock:
+            reqs, self._ray_requests = self._ray_requests, []
+        if not reqs:
+            return
+        import numpy as np
+        p0 = np.asarray([r[0] for r in reqs], dtype=np.float64)
+        p1 = np.asarray([r[1] for r in reqs], dtype=np.float64)
+        Q = len(reqs)
+        # pad the batch to a power of two so distinct queue depths share a
+        # handful of compiled programs instead of one each
+        Qp = max(8, 1 << (Q - 1).bit_length())
+        if Qp > Q:
+            p0 = np.concatenate([p0, np.repeat(p0[-1:], Qp - Q, 0)])
+            p1 = np.concatenate([p1, np.repeat(p1[-1:], Qp - Q, 0)])
+        self.raycast_batches += 1
+        out = self.world.raycast(p0, p1)
+        for k, (_, _, cb) in enumerate(reqs):
+            cb({"fraction": float(out["fraction"][k]),
+                "entity": int(out["entity"][k]),
+                "normal": out["normal"][k],
+                "feature": int(out["feature"][k]),
+                "sub_index": int(out["sub_index"][k]),
+                "child_index": int(out["child_index"][k])})
 
     def query_aabb_async(self, lo, hi, callback: Callable, **kw):
         """Async AABB region query (reference: collision/query_aabb.hpp
@@ -99,6 +129,7 @@ class AsyncSimulation:
                     break
                 op(self.world)
                 dt = self.world.settings.fixed_dt
+            self._flush_raycasts()
 
             now = time.perf_counter()
             if self._paused or now < next_time:

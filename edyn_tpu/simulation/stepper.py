@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..collision.broadphase import find_pairs
-from ..collision.manifold import carry_over
+from ..collision.manifold import update_slots
 from ..collision.narrowphase import update_contacts
 from ..config import Settings
 from ..constraints import joints as joints_mod
@@ -213,15 +213,28 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     amin, amax = compute_aabbs(state.shape_type, state.shape_params,
                                state.origin_pos(), state.orn, state.poly,
                                state.shape_index, state.mesh, state.convex)
-    # carried fat broadphase boxes: re-seat only when the tight AABB escapes
-    # (reference: dynamic_tree::move, dynamic_tree.cpp:60-77) so sub-margin
-    # jitter keeps the pair set — and therefore manifolds, islands, and
-    # sleep state — exactly stable.
-    from ..config import BROADPHASE_FAT_MARGIN as _FAT
-    escaped = jnp.any((amin < state.bp_aabb_min) | (amax > state.bp_aabb_max),
-                      axis=-1)
-    bp_min = jnp.where(escaped[:, None], amin - _FAT, state.bp_aabb_min)
-    bp_max = jnp.where(escaped[:, None], amax + _FAT, state.bp_aabb_max)
+    # pair-admission boxes, CARRIED with hysteresis: on re-seat, a body's box
+    # is its tight AABB swept by this step's velocity and inflated by the
+    # separation margin; it is only re-seated when the swept tight AABB
+    # escapes the carried box (reference: broadphase queries offset AABBs,
+    # manifolds are created within ~contact_breaking and destroyed at
+    # 1.3x contact_breaking, broadphase.hpp:15-18 — the same
+    # create-tight/destroy-wide hysteresis band, here 1x..2x the margin).
+    # Tight admission keeps manifold-table width at the near-contact count
+    # instead of a fat-margin candidate set (~2x), and the carry makes the
+    # pair set EXACTLY stable under solver-scale jitter (< margin): a
+    # settled or sleeping world re-seats nothing, emits an identical key
+    # list, and update_slots takes its no-op fast path. The sweep term
+    # admits fast approaches the step they arrive, which is what the
+    # speculative contact row needs.
+    from ..config import PAIR_SEPARATION_MARGIN as _SEP
+    swept = state.linvel * dt
+    tmin = amin + jnp.minimum(swept, 0.0)
+    tmax = amax + jnp.maximum(swept, 0.0)
+    escaped = jnp.any((tmin < state.bp_aabb_min)
+                      | (tmax > state.bp_aabb_max), axis=-1)
+    bp_min = jnp.where(escaped[:, None], tmin - _SEP, state.bp_aabb_min)
+    bp_max = jnp.where(escaped[:, None], tmax + _SEP, state.bp_aabb_max)
     state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax,
                                 bp_aabb_min=bp_min, bp_aabb_max=bp_max)
 
@@ -237,21 +250,21 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     else:
         keys, pa, pb, pvalid, bp_dropped = find_pairs(
             state, meta.max_pairs, meta.broadphase_block,
-            meta.should_collide_fn)
+            meta.should_collide_fn, wide_cap=meta.wide_cap)
         bp_alarms = jnp.zeros((), jnp.int32)
 
     # --- manifold persistence + narrowphase ---
-    man, edge_dropped = carry_over(state.contacts, keys, pa, pb, pvalid)
+    man, edge_dropped, man_dropped, pairs_same = update_slots(
+        state.contacts, keys, pa, pb, pvalid)
     # bodies whose manifold was destroyed this step must wake (reference:
     # island_manager.cpp:74-98 wakes an island when a graph edge dies, e.g.
     # the body underneath a sleeping stack is destroyed or drifts away)
     old = state.contacts
     # Only drops of NEAR-CONTACT manifolds (ones that held contact points)
-    # wake: our pair slots include far candidates the fat boxes paired up to
-    # ~2*BROADPHASE_FAT_MARGIN out, which have no reference equivalent — the
-    # reference only ever creates manifolds within ~1.3*contact_breaking of
-    # tight contact (broadphase.hpp:15-18), so only those separations fire
-    # on_destroy island wakes there.
+    # wake: pointless pairs at the admission margin (separated by more than
+    # contact_breaking) flicker freely; the reference fires on_destroy island
+    # wakes only for manifolds, which exist within ~1.3*contact_breaking
+    # (broadphase.hpp:15-18).
     edge_wake = edge_dropped & jnp.any(old.point_valid, -1)
     wake_bodies = (
         jnp.zeros((state.capacity,), bool)
@@ -260,11 +273,25 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     man, np_dropped = update_contacts(state, man, settings.collision_threshold,
                                       meta.types_present, meta.bucket_cap, dt,
                                       pallas_mode=meta.pallas_narrowphase)
-    state = dataclasses.replace(state, contacts=man)
 
     # --- islands & sleeping ---
+    # Steady-state skip: the island graph's edges are the pointed manifolds
+    # + joints. When the admitted pair list AND the pointed mask have been
+    # unchanged for >= 2*RESET_PERIOD steps, a re-seed cycle completed
+    # within the stable window, so the stored converged labels are the
+    # exact partition of the current graph and label propagation is skipped
+    # under lax.cond (reference: the island graph is incremental and only
+    # recomputes on edge events, island_manager.cpp:74-98). Host-side body/
+    # joint lifecycle mutators reset island_stable_steps (core/world.py).
+    pointed = man.valid & jnp.any(man.point_valid, -1)
+    steady = pairs_same & jnp.all(pointed == state.edge_pointed)
+    stable_steps = jnp.where(steady, state.island_stable_steps + 1, 0)
+    state = dataclasses.replace(state, contacts=man, edge_pointed=pointed,
+                                island_stable_steps=stable_steps)
+    skip_labels = stable_steps >= 2 * islands_mod.RESET_PERIOD
     state = islands_mod.update_sleep(state, man, dt, settings.enable_sleeping,
-                                     meta.island_iters, wake_bodies=wake_bodies)
+                                     meta.island_iters, wake_bodies=wake_bodies,
+                                     skip_labels=skip_labels)
 
     use_rest = settings.num_restitution_iterations > 0
     rows = solver_mod.build_contact_rows(state, man, dt, use_rest,
@@ -272,27 +299,44 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
                                          meta.has_spin_roll, meta.max_rows)
     rows = _shard_rows(rows, meta)
 
-    # --- solve phase, width-gated on the live row count (sleep gating) ---
-    # Rows are compacted into a prefix, so when few contacts are live (a
-    # mostly-asleep world, or a pile still falling) the ENTIRE solve phase —
+    # --- solve phase, width-laddered on the live row count (sleep gating) ---
+    # Rows are compacted into a prefix, so the ENTIRE solve phase —
     # restitution pre-pass, warm start, velocity iterations, impulse
-    # writeback, NGS — runs on a 1/16-width slice under lax.cond, the
-    # reference's "sleeping islands cost nothing" property
-    # (island_manager.cpp:541-596) in batched form. Numerics are identical:
-    # the live rows are the same rows, padding contributes zeros either way.
+    # writeback, NGS — runs on the narrowest prefix that holds the live
+    # rows, via nested lax.cond. Tiers: R/8 (mostly-asleep worlds — the
+    # reference's "sleeping islands cost nothing", island_manager.cpp:541-596),
+    # 3R/4 (a settled pile: live points run ~0.75/pair), full R. Numerics
+    # are identical across tiers: the live rows are the same rows, padding
+    # contributes zeros either way. The gather/scatter cost of every solver
+    # iteration scales with the chosen width (~6 ns per gathered index), so
+    # the tier choice is directly the solve-phase cost.
     Rfull = rows.valid.shape[0]
-    Rs = max(1024, -(-(Rfull // 16) // 256) * 256)
-    gate = (meta.sleep_gating and meta.max_rows is not None
-            and meta.shard_mesh is None and Rs < Rfull)
-    if gate:
-        state = jax.lax.cond(
-            rows.count <= Rs,
-            lambda st: _solve_phase(st, man, solver_mod.rows_prefix(rows, Rs),
-                                    settings, meta, use_rest),
-            lambda st: _solve_phase(st, man, rows, settings, meta, use_rest),
-            state)
-    else:
-        state = _solve_phase(state, man, rows, settings, meta, use_rest)
+    tiers = []
+    if meta.sleep_gating and meta.max_rows is not None:
+        mult = meta.shard_mesh[0].size if meta.shard_mesh is not None else 1
+        quantum = 256 * mult
+        for frac_num, frac_den in ((1, 8), (3, 4)):
+            Rs = max(quantum, -(-(Rfull * frac_num // frac_den) // quantum)
+                     * quantum)
+            if Rs < Rfull and (not tiers or Rs > tiers[-1]):
+                tiers.append(Rs)
+
+    def solve_at(width):
+        if width == Rfull:
+            return lambda st: _solve_phase(st, man, rows, settings, meta,
+                                           use_rest)
+        return lambda st: _solve_phase(
+            st, man, solver_mod.rows_prefix(rows, width), settings, meta,
+            use_rest)
+
+    def ladder(remaining):
+        if not remaining:
+            return solve_at(Rfull)
+        Rs = remaining[0]
+        rest = ladder(remaining[1:])
+        return lambda st: jax.lax.cond(rows.count <= Rs, solve_at(Rs), rest, st)
+
+    state = ladder(tiers)(state)
 
     return dataclasses.replace(
         state,
@@ -302,7 +346,8 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
         # narrowphase bucket candidates, compacted solver rows)
         overflow=jnp.stack([
             bp_dropped.astype(jnp.int32), np_dropped.astype(jnp.int32),
-            rows.dropped.astype(jnp.int32), bp_alarms.astype(jnp.int32)]),
+            rows.dropped.astype(jnp.int32), bp_alarms.astype(jnp.int32),
+            man_dropped.astype(jnp.int32)]),
     )
 
 

@@ -45,6 +45,7 @@ class ProfileCounters:
     dropped_narrowphase_candidates: int = 0
     dropped_contact_rows: int = 0
     broadphase_window_alarms: int = 0
+    dropped_manifold_slots: int = 0
 
 
 def counters(state) -> ProfileCounters:
@@ -65,6 +66,7 @@ def counters(state) -> ProfileCounters:
         dropped_narrowphase_candidates=int(ovf[1]),
         dropped_contact_rows=int(ovf[2]),
         broadphase_window_alarms=int(ovf[3]),
+        dropped_manifold_slots=int(ovf[4]) if ovf.shape[0] > 4 else 0,
     )
 
 
@@ -73,7 +75,7 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
     separately on first call — use for diagnosis, not production stepping."""
     import dataclasses as dc
     from ..collision.broadphase import find_pairs
-    from ..collision.manifold import carry_over
+    from ..collision.manifold import update_slots
     from ..collision.narrowphase import update_contacts
     from ..dynamics import islands as im, solver as sm
     from ..dynamics.position import solve_positions
@@ -97,13 +99,21 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
     amin, amax = timed("aabbs", jax.jit(lambda s: compute_aabbs(
         s.shape_type, s.shape_params, s.origin_pos(), s.orn, s.poly,
         s.shape_index, s.mesh, s.convex)), st)
-    from ..config import BROADPHASE_FAT_MARGIN as _FAT
+    from ..config import PAIR_SEPARATION_MARGIN as _SEP
     import jax.numpy as _jnp
-    escaped = _jnp.any((amin < st.bp_aabb_min) | (amax > st.bp_aabb_max), -1)
+    swept = st.linvel * S.fixed_dt
     st = dc.replace(
         st, aabb_min=amin, aabb_max=amax,
-        bp_aabb_min=_jnp.where(escaped[:, None], amin - _FAT, st.bp_aabb_min),
-        bp_aabb_max=_jnp.where(escaped[:, None], amax + _FAT, st.bp_aabb_max))
+        bp_aabb_min=_jnp.where(
+            _jnp.any((amin + _jnp.minimum(swept, 0.0) < st.bp_aabb_min)
+                     | (amax + _jnp.maximum(swept, 0.0) > st.bp_aabb_max),
+                     -1)[:, None],
+            amin + _jnp.minimum(swept, 0.0) - _SEP, st.bp_aabb_min),
+        bp_aabb_max=_jnp.where(
+            _jnp.any((amin + _jnp.minimum(swept, 0.0) < st.bp_aabb_min)
+                     | (amax + _jnp.maximum(swept, 0.0) > st.bp_aabb_max),
+                     -1)[:, None],
+            amax + _jnp.maximum(swept, 0.0) + _SEP, st.bp_aabb_max))
     from ..collision.broadphase import DENSE_LIMIT, find_pairs_sweep
     mode = meta.broadphase_mode
     if mode == "auto":
@@ -116,8 +126,8 @@ def profile_step(world, repeats: int = 3) -> Dict[str, float]:
         keys, pa, pb, pv, _ = timed(
             "broadphase", lambda s: find_pairs(s, meta.max_pairs,
                                                meta.broadphase_block), st)
-    man, _edge_drop = timed("manifold_carry", jax.jit(carry_over), st.contacts,
-                            keys, pa, pb, pv)
+    man, _edge_drop, _man_drop, _same = timed(
+        "manifold_carry", jax.jit(update_slots), st.contacts, keys, pa, pb, pv)
     man, _np_drop = timed("narrowphase", jax.jit(
         lambda s, m: update_contacts(s, m, S.collision_threshold,
                                      meta.types_present, meta.bucket_cap)),

@@ -29,6 +29,21 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest
 
+# Build the native C++ helper on a fresh checkout so the native-path tests
+# run instead of skipping (csrc/Makefile; best-effort — the ctypes loader
+# has Python fallbacks when no toolchain is available).
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_root, "edyn_tpu", "native", "libedyn_native.so")
+_src = os.path.join(_root, "csrc", "edyn_native.cpp")
+if not os.path.exists(_so) or (os.path.exists(_src) and
+                               os.path.getmtime(_src) > os.path.getmtime(_so)):
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", os.path.join(_root, "csrc")],
+                       capture_output=True, timeout=120, check=False)
+    except Exception:
+        pass
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _bound_jit_cache():

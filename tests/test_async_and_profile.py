@@ -97,6 +97,28 @@ def test_async_raycast_and_query():
         while len(results) < 2 and time.time() < deadline:
             time.sleep(0.05)
         assert len(results) == 2
-        assert results[0]["entity"] >= 0  # ray hits plane or box
+        # ops and the coalesced raycast flush drain in either order
+        ray = next(r for r in results if isinstance(r, dict))
+        assert ray["entity"] >= 0  # ray hits plane or box
     finally:
         sim.stop()
+
+
+def test_async_raycasts_are_batched():
+    """100 raycasts enqueued between steps coalesce into ONE batched device
+    program (reference: raycast_service batches queued rays through shared
+    phases, raycast_service.cpp:118)."""
+    b, box = hello_world()
+    w = et.make_world(b)
+    w.step(1)
+    sim = AsyncSimulation(w)
+    results = []
+    for k in range(100):
+        x = (k % 10) * 0.01
+        sim.raycast_async((x, 5.0, 0.0), (x, -1.0, 0.0), results.append)
+    # drive the flush directly (no thread: deterministic single flush)
+    sim._flush_raycasts()
+    assert len(results) == 100
+    assert sim.raycast_batches == 1
+    assert all(r["entity"] >= 0 for r in results)
+    assert all(abs(r["normal"][1] - 1.0) < 1e-3 for r in results)

@@ -86,6 +86,52 @@ def test_hinge_limit():
     assert angle < 0.45, f"swung past limit: {angle}"
 
 
+def test_hinge_limit_restitution_bounce():
+    """A swinging hinge that hits its limit with limit_restitution=0.5 must
+    bounce back with ~half the angular speed (reference: per-row
+    constraint_row_options restitution, hinge_constraint.cpp:112-113 ->
+    constraint_row.cpp:21 rhs = -(error*erp + relvel*(1+restitution)))."""
+    import jax.numpy as jnp
+    import dataclasses
+
+    def run(rest, w0=8.0):
+        b = et.WorldBuilder()
+        anchor = b.make_rigidbody(et.RigidBodyDef(
+            kind=et.KIND_STATIC, position=(0, 2, 0), shape=None, material=None))
+        rod = b.make_rigidbody(et.RigidBodyDef(
+            mass=1.0, shape=et.CapsuleShape(0.05, 0.4),
+            position=(0.4, 2.0, 0.0), sleeping_disabled=True))
+        et.make_hinge_constraint(b, anchor, rod, (0, 0, 0), (-0.4, 0, 0),
+                                 (0, 0, 1), (0, 0, 1),
+                                 has_limit=True, limit_min=-0.25,
+                                 limit_max=0.25, limit_restitution=rest)
+        w = et.make_world(b, et.Settings(gravity=(0, 0, 0)))
+        # spin the rod about the PIVOT toward the +limit: angvel w0*z plus
+        # the COM linvel w x r that makes the pivot stationary (angvel
+        # alone would be COM rotation, which the pivot rows redistribute)
+        w.state = dataclasses.replace(
+            w.state,
+            angvel=w.state.angvel.at[rod].set(jnp.asarray([0.0, 0.0, w0])),
+            linvel=w.state.linvel.at[rod].set(
+                jnp.asarray([0.0, 0.4 * w0, 0.0])))
+        speeds = []
+        for _ in range(25):
+            w.step(1)
+            speeds.append(float(w.angvel(rod)[2]))
+        return np.asarray(speeds)
+
+    s0 = run(0.0)
+    s5 = run(0.5)
+    s1 = run(1.0)
+    # inelastic: brakes to a stop, never meaningfully reverses (the
+    # speculative row sheds the approach before the bound)
+    assert s0.min() > -0.35, f"e=0 should not bounce: {s0.min()}"
+    # restitution: rebound speed grows monotonically with e
+    assert s5.min() < -0.5, f"e=0.5 should bounce: {s5.min()}"
+    assert s1.min() < s5.min() - 0.5, \
+        f"e=1 should bounce harder than e=0.5: {s1.min()} vs {s5.min()}"
+
+
 def test_soft_distance_spring_oscillates_and_damps():
     b = et.WorldBuilder()
     anchor = b.make_rigidbody(et.RigidBodyDef(

@@ -339,3 +339,36 @@ def test_sleep_gating_equivalence_and_wake():
                                np.asarray(w_u.state.linvel), atol=1e-4)
     # the impact actually woke the pile through the gated path
     assert not w_g.is_asleep(ids[0])
+
+
+def test_island_steady_skip_engages_and_resets():
+    """A sleeping world's contact/joint edge set stops changing, so the
+    island stability counter climbs past 2*RESET_PERIOD and label
+    propagation is skipped under lax.cond with the stored converged labels
+    (reference: the island graph is incremental and only recomputes on edge
+    events, island_manager.cpp:74-98); a body/joint lifecycle event resets
+    the counter so the next steps recompute labels."""
+    from edyn_tpu.dynamics.islands import RESET_PERIOD
+
+    b, ids = scenes.mixed_pile(n_bodies=48)
+    w = et.make_world(b, capacity=len(b.defs) + 8, max_joints=4)
+    settle(w, 60)
+    w.put_to_sleep()
+    w.step(2 * RESET_PERIOD + 6)
+    assert int(w.state.island_stable_steps) >= 2 * RESET_PERIOD, \
+        f"stability counter stuck at {int(w.state.island_stable_steps)}"
+    assert bool(w.state.labels_stable)
+    labels = np.asarray(w.state.island_id).copy()
+    w.step(4)  # the skip path reuses the stored labels verbatim
+    np.testing.assert_array_equal(np.asarray(w.state.island_id), labels)
+    dyn = np.asarray(w.state.is_dynamic)
+    assert np.asarray(w.state.asleep)[dyn].mean() > 0.95
+
+    # a lifecycle edit (graph edge change the device step cannot see)
+    # must invalidate the skip
+    j = et.make_distance_constraint(w, ids[0], ids[1], (0, 0, 0), (0, 0, 0),
+                                    5.0)
+    assert int(w.state.island_stable_steps) == 0
+    assert not bool(w.state.labels_stable)
+    w.destroy_joint(j)
+    assert int(w.state.island_stable_steps) == 0
