@@ -39,6 +39,12 @@ SIZES = [int(x) for x in os.environ.get(
 N_STEPS = int(os.environ.get("BENCH_STEPS", 60))
 SETTLE_STEPS = int(os.environ.get("BENCH_SETTLE", 300))
 PROFILE_DIR = os.environ.get("BENCH_PROFILE")
+# Wall-clock budget (s). The driver kills the bench with an external timeout
+# (r4 died at rc=124 mid-32k and the headline never printed); each size is
+# gated on a measured estimate against the remaining budget so the process
+# always EXITS 0 with the headline as the last stdout line.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
+_T0 = time.perf_counter()
 
 
 # Bound every device call: the axon relay (degraded tunnel runtime) kills a
@@ -143,23 +149,47 @@ def bench_size(n_bodies: int):
             "overflow": {k: int(v) for k, v in ovf.items() if v}}
 
 
-def main():
-    results = []
-    for n in SIZES:
-        r = bench_size(n)
-        results.append(r)
-        print(json.dumps({"config": r}), flush=True)
-
+def _headline(results):
+    """The driver-contract JSON line: the 10k settled row (or the largest
+    completed size), with every completed config embedded."""
     head = next((r for r in results if r["bodies"] == 10_000), results[-1])
     v = head["settled_steps_per_sec"]
-    print(json.dumps({
+    return json.dumps({
         "metric": f"steps/sec {head['bodies']}-body mixed-shape pile, "
                   f"SETTLED phase (8 vel + 3 pos iters)",
         "value": v,
         "unit": "steps/s",
         "vs_baseline": round(v / BASELINE_STEPS_PER_SEC, 2),
         "configs": results,
-    }))
+    })
+
+
+def main():
+    results = []
+    prev = None  # (bodies, elapsed_s) of the last completed size
+    for n in SIZES:
+        elapsed = time.perf_counter() - _T0
+        remaining = BUDGET_S - elapsed
+        if prev is not None:
+            # super-linear growth estimate (compile + step cost both grow
+            # faster than linearly in N) with a 1.3x safety factor
+            est = prev[1] * (n / prev[0]) ** 1.3 * 1.3
+            if est > remaining:
+                print(json.dumps({
+                    "warning": f"skipping {n}-body config: estimated "
+                               f"{est:.0f}s > {remaining:.0f}s remaining "
+                               f"of BENCH_BUDGET_S={BUDGET_S:.0f}"}),
+                    file=sys.stderr, flush=True)
+                continue
+        t0 = time.perf_counter()
+        r = bench_size(n)
+        prev = (n, time.perf_counter() - t0)
+        results.append(r)
+        # per-config detail on stderr; stdout carries ONLY headline lines so
+        # that even an externally killed run leaves a complete headline as
+        # the last stdout line
+        print(json.dumps({"config": r}), file=sys.stderr, flush=True)
+        print(_headline(results), flush=True)
 
 
 if __name__ == "__main__":

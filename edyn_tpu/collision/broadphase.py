@@ -172,11 +172,17 @@ def find_pairs_sweep(state, max_pairs: int, window: int = 128,
     smin = amin @ oh
     smax = amax @ oh
 
-    # wide bodies: axis extent over a fraction of the world span
-    lo_w = jnp.min(jnp.where(valid, smin, jnp.inf))
-    hi_w = jnp.max(jnp.where(valid, smax, -jnp.inf))
+    # wide bodies: planes always (their PLANE_EXTENT slab AABBs would both
+    # inflate the span estimate ~2e6 — misclassifying genuinely large
+    # statics as narrow and truncating their windows, ADVICE r4 — and
+    # overlap the whole sweep order), plus anything whose axis extent
+    # covers a large fraction of the non-plane world span.
+    is_plane = state.shape_type == ShapeType.PLANE
+    span_b = valid & ~is_plane
+    lo_w = jnp.min(jnp.where(span_b, smin, jnp.inf))
+    hi_w = jnp.max(jnp.where(span_b, smax, -jnp.inf))
     span = jnp.maximum(hi_w - lo_w, 1e-6)
-    wide = valid & ((smax - smin) > 0.25 * span)
+    wide = valid & (is_plane | ((smax - smin) > 0.25 * span))
     narrow = valid & ~wide
 
     skey = jnp.where(narrow, smin, jnp.inf)
@@ -247,10 +253,9 @@ def find_pairs_sweep(state, max_pairs: int, window: int = 128,
 
 @functools.partial(jax.jit, static_argnames=("max_pairs", "block",
                                              "should_collide_fn",
-                                             "dense_row_cap", "wide_cap"))
+                                             "wide_cap"))
 def find_pairs(state, max_pairs: int, block: int = 256,
-               should_collide_fn=None, dense_row_cap: int = 28,
-               wide_cap: int = 64):
+               should_collide_fn=None, wide_cap: int = 64):
     """Returns (keys[max_pairs] sorted asc, body_a, body_b, valid, dropped).
 
     keys = a * N + b with a < b; INVALID_KEY marks padding."""
@@ -260,36 +265,39 @@ def find_pairs(state, max_pairs: int, block: int = 256,
     idx = jnp.arange(N)
 
     if N <= DENSE_LIMIT:
-        # one-shot dense path: a single fused mask, then PER-ROW bit
-        # extraction. The measured cost law of this runtime is ~6 ns per
-        # gathered index, so the old design (k-ary searchsorted over chunk
-        # offsets + a [P,128] chunk-row gather: ~20 gathered indices per
-        # output slot) paid ~25 ms at 10k; this one extracts the k-th set
-        # bit of each row arithmetically (bitpack -> popcount prefix ->
-        # broadcast compares, zero gathers) and pays one index-scatter in
-        # the final compaction plus one flat-rate key sort (~2.5 ms).
+        # one-shot dense path: a single fused mask, bitpacked to u32 chunks,
+        # then CHUNK-SCATTER extraction — every set bit computes its own
+        # output position (global exclusive cumsum of per-chunk popcounts +
+        # in-chunk prefix popcount, all arithmetic) and a single scatter
+        # emits the (row, col) pairs. There is NO per-row cap: r4's k-th-
+        # set-bit extraction bounded each row at dense_row_cap=28 and
+        # silently dropped ~5.5k real pairs/step on the settled 10k pile
+        # (row occupancy max 72); its [N, C, Bc] hit intermediates were
+        # also the 16k compile/memory cliff. Here the only bound is the
+        # TOTAL max_pairs budget (counted + grown by World.auto_grow), and
+        # the largest intermediate beyond the [N, Np] mask itself is the
+        # [K, 32] bit expansion (K <= max_pairs nonzero chunks).
         #
-        # Row budget: a body's row holds its pairs with higher-indexed
-        # narrow bodies PLUS all its pairs with "wide" bodies (planes,
-        # terrain — world-spanning AABBs that would blow any per-row cap),
-        # so wide bodies never own a row and `dense_row_cap` stays small.
-        # The narrow-narrow mask is BOX-ONLY elementwise work (the exact
-        # plane-vs-AABB clip runs only in the [N, wide_cap] wide block —
-        # at 50k bodies the clip's [N,N,3] intermediates would be ~7 GB).
-        # Emission order is not key-sorted, hence the flat-rate sort.
+        # The reference's tree query never drops an overlapping pair
+        # (include/edyn/collision/dynamic_tree.hpp:24-104,
+        # src/edyn/collision/broadphase.cpp:136-155); neither does this.
         CH = 32
         Bc_n = -(-N // 128) * 4                 # u32 chunks, 128-lane padded
         Np = Bc_n * CH
         idx_c = jnp.minimum(jnp.arange(Np), N - 1)
         in_n = (jnp.arange(Np) < N)
 
-        # wide: any-axis extent over a quarter of the world span on that axis
-        amin, amax = state.bp_aabb_min, state.bp_aabb_max
+        # "wide" = plane bodies ONLY. Planes carry world-sized slab AABBs
+        # (shapes/aabb.py PLANE_EXTENT) whose box test passes against every
+        # body, so they live in a dedicated [N, wide_cap] block where the
+        # EXACT AABB-vs-halfspace clip prunes them. Everything else —
+        # terrain meshes, big platforms — has a real AABB and sits fine in
+        # the narrow mask now that extraction has no per-row cap (r4's
+        # span-relative extent classification misclassified large statics
+        # whenever a plane inflated the span, ADVICE r4, and flipped
+        # frame-to-frame as the world span breathed).
         validb = state.valid & (state.shape_type != ShapeType.NONE)
-        lo_w = jnp.min(jnp.where(validb[:, None], amin, jnp.inf), axis=0)
-        hi_w = jnp.max(jnp.where(validb[:, None], amax, -jnp.inf), axis=0)
-        span = jnp.maximum(hi_w - lo_w, 1e-6)
-        wide = validb & jnp.any((amax - amin) > 0.25 * span[None, :], axis=-1)
+        wide = validb & (state.shape_type == ShapeType.PLANE)
         narrow = validb & ~wide
 
         m = _pair_filters_elt(state, idx[:, None], idx_c[None, :])
@@ -302,7 +310,9 @@ def find_pairs(state, max_pairs: int, block: int = 256,
 
         # wide block [N, wide_cap]: narrow-vs-wide (every such pair lives in
         # the narrow row) + wide-vs-wide (lower-indexed row), with the FULL
-        # overlap test including the plane clip
+        # overlap test including the plane clip (the exact plane-vs-AABB
+        # predicate runs only here — on [N, N] it would materialize
+        # [N, N, 3] intermediates)
         wloc, wcnt = _compact(wide, wide_cap)
         wj_ids = jnp.where(wloc >= 0, wloc, 0)
         iw = idx[:, None]
@@ -324,51 +334,49 @@ def find_pairs(state, max_pairs: int, block: int = 256,
         pack = lambda x, B: jnp.sum(x.reshape(N, B, CH).astype(jnp.uint32)
                                     * pw[None, None, :], axis=-1)
         chunks = jnp.concatenate([pack(m, Bc_n), pack(mw, Bc_w)],
-                                 axis=1)                        # [N,Bc] u32
+                                 axis=1).reshape(-1)            # [N*Bc] u32
         ccnt = jax.lax.population_count(chunks).astype(jnp.int32)
-        rowcnt = jnp.sum(ccnt, axis=1)                          # [N]
-        exc = jnp.cumsum(ccnt, axis=1) - ccnt                   # [N,Bc] excl
-        C = dense_row_cap
-        c_ids = jnp.arange(C, dtype=jnp.int32)                  # [C]
-        # chunk holding the c-th set bit of the row: exc<=c<exc+cnt
-        hit = ((exc[:, None, :] <= c_ids[None, :, None])
-               & (c_ids[None, :, None] < (exc + ccnt)[:, None, :]))  # [N,C,Bc]
-        hitf = hit.astype(jnp.uint32)
-        b_sel = jnp.sum(hitf * jnp.arange(Bc, dtype=jnp.uint32)[None, None, :],
-                        -1)
-        v_sel = jnp.sum(hitf * chunks[:, None, :], -1)          # [N,C] u32
-        r_sel = c_ids[None, :] - jnp.sum(
-            hitf * exc.astype(jnp.uint32)[:, None, :], -1).astype(jnp.int32)
-        # r-th set bit of v via prefix popcounts (arithmetic, no gather)
-        bit_ids = jnp.arange(32, dtype=jnp.uint32)
-        below = jax.lax.population_count(
-            v_sel[:, :, None] & ((jnp.uint32(1) << bit_ids) - jnp.uint32(1))
-            [None, None, :]).astype(jnp.int32)
-        bit_hit = ((((v_sel[:, :, None] >> bit_ids[None, None, :])
-                     & jnp.uint32(1)) == 1) & (below == r_sel[:, :, None]))
-        bitpos = jnp.sum(bit_hit * jnp.arange(32, dtype=jnp.int32)
-                         [None, None, :], -1)
-        col = b_sel.astype(jnp.int32) * CH + bitpos             # [N,C]
-        # decode: narrow columns are body ids; wide columns index the
-        # compacted wide list (selected arithmetically — wide_cap is small)
-        wcol = col - Np
-        j_wide = jnp.sum(jnp.where(
-            wcol[:, :, None] == jnp.arange(Wc, dtype=jnp.int32)[None, None, :],
-            wj_ids[None, None, :], 0), -1)
-        j_cand = jnp.where(col < Np, col, j_wide)               # [N,C]
-        valid_c = c_ids[None, :] < jnp.minimum(rowcnt, C)[:, None]
+        base = jnp.cumsum(ccnt) - ccnt                  # [N*Bc] excl prefix
+        total = base[-1] + ccnt[-1]                     # total set bits
 
-        flat_v = valid_c.reshape(-1)
-        loc, total = _compact(flat_v, max_pairs)
-        ok = loc >= 0
-        locc = jnp.clip(loc, 0, N * C - 1)
-        i_row = locc // C
-        j_col = jnp.minimum(j_cand.reshape(-1)[locc], N - 1)
+        # compact the nonzero chunks (each holds >= 1 bit, so max_pairs
+        # slots suffice whenever the total budget does)
+        loc, nzcnt = _compact(ccnt > 0, max_pairs)
+        okc = loc >= 0
+        locc = jnp.clip(loc, 0, N * Bc - 1)
+        ch_v = jnp.where(okc, chunks[locc], 0)          # [K] u32
+        ch_base = base[locc]                            # [K]
+        ch_row = (locc // Bc).astype(jnp.int32)
+        ch_col0 = (locc % Bc).astype(jnp.int32) * CH
+
+        # expand each chunk's bits; every set bit's output slot is
+        # chunk base + its in-chunk rank (prefix popcount)
+        bit = jnp.arange(CH, dtype=jnp.uint32)
+        isset = ((ch_v[:, None] >> bit[None, :]) & jnp.uint32(1)) == 1
+        rank = jax.lax.population_count(
+            ch_v[:, None] & ((jnp.uint32(1) << bit) - jnp.uint32(1))
+            [None, :]).astype(jnp.int32)                # [K,CH]
+        outpos = jnp.where(isset, ch_base[:, None] + rank, max_pairs)
+        col = ch_col0[:, None] + jnp.arange(CH, dtype=jnp.int32)  # [K,CH]
+        rc = jnp.stack([jnp.broadcast_to(ch_row[:, None], col.shape), col],
+                       axis=-1)                         # [K,CH,2]
+        pairs_rc = jnp.full((max_pairs + 1, 2), -1, jnp.int32).at[
+            outpos.reshape(-1)].set(rc.reshape(-1, 2), mode="drop")[:-1]
+
+        # decode columns: narrow columns are body ids; wide columns index
+        # the compacted wide list (ONE [max_pairs] gather, post-compaction)
+        i_row = pairs_rc[:, 0]
+        colv = pairs_rc[:, 1]
+        ok = i_row >= 0
+        j_col = jnp.where(colv < Np, jnp.clip(colv, 0, N - 1),
+                          wj_ids[jnp.clip(colv - Np, 0, Wc - 1)])
         lo_ab = jnp.minimum(i_row, j_col)
         hi_ab = jnp.maximum(i_row, j_col)
         keys = jnp.sort(_pack_keys(lo_ab, hi_ab, N, ok))
+        # chunks beyond the nonzero-chunk budget can only exist when the
+        # total budget is already blown (every nonzero chunk holds >= 1
+        # bit), so max(total - max_pairs) subsumes them
         dropped = (jnp.maximum(total - max_pairs, 0)
-                   + jnp.sum(jnp.maximum(rowcnt - C, 0))
                    + jnp.maximum(wcnt - wide_cap, 0))
     else:
         n_blocks = -(-N // block)

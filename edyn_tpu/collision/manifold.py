@@ -59,6 +59,11 @@ def update_slots(old: ContactTable, keys, body_a, body_b, pair_valid):
 
     same = jnp.all(keys == old.sort_key[:P]) \
         & jnp.all(pair_valid == old.sort_pvalid[:P])
+    if P < M:
+        # a backfilled v3/v4 checkpoint can hold more live sorted entries
+        # than max_pairs; the P-truncated comparison must not fast-path
+        # past live tail keys (they would survive un-dropped forever)
+        same &= jnp.all(old.sort_key[P:] == INVALID_KEY)
 
     def fast(_):
         return old, jnp.zeros((M,), bool), jnp.zeros((), jnp.int32)

@@ -97,6 +97,49 @@ class ContactTable:
         )
 
 
+def grow_contact_table(tab: "ContactTable", newM: int) -> "ContactTable":
+    """Pad the manifold table to ``newM`` slots, preserving every live
+    manifold in place (slots are stable). Part of the grow-on-overflow
+    policy (World._maybe_grow): the pair-capacity analogue of the
+    reference's unbounded manifold creation (broadphase.cpp:136-155)."""
+    import dataclasses as _dc_mod
+    M = tab.key.shape[0]
+    if newM <= M:
+        return tab
+    pad = newM - M
+    INV = jnp.uint32(jnp.iinfo(jnp.uint32).max)
+
+    def ext(x, fill):
+        shape = (pad,) + x.shape[1:]
+        return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)])
+
+    return _dc_mod.replace(
+        tab,
+        key=ext(tab.key, INV),
+        body_a=ext(tab.body_a, 0),
+        body_b=ext(tab.body_b, 0),
+        valid=ext(tab.valid, False),
+        # the sorted view's "no slot" sentinel is M — remap to newM
+        sort_key=ext(tab.sort_key, INV),
+        sort_slot=ext(jnp.where(tab.sort_slot >= M, newM, tab.sort_slot),
+                      newM),
+        sort_pvalid=ext(tab.sort_pvalid, False),
+        point_valid=ext(tab.point_valid, False),
+        pivot_a=ext(tab.pivot_a, 0.0),
+        pivot_b=ext(tab.pivot_b, 0.0),
+        local_normal=ext(tab.local_normal, 0.0),
+        normal_attachment=ext(tab.normal_attachment, 0),
+        distance=ext(tab.distance, 0.0),
+        lifetime=ext(tab.lifetime, 0),
+        normal_impulse=ext(tab.normal_impulse, 0.0),
+        friction_impulse=ext(tab.friction_impulse, 0.0),
+        spin_impulse=ext(tab.spin_impulse, 0.0),
+        roll_impulse=ext(tab.roll_impulse, 0.0),
+        friction_scale=ext(tab.friction_scale, 1.0),
+        restitution_scale=ext(tab.restitution_scale, 1.0),
+    )
+
+
 @_dc
 class JointTable:
     """Non-contact constraints (the reference's 10 constraint types,

@@ -18,7 +18,7 @@ from ..config import Settings, scalar_dtype
 from ..math import vec
 from ..simulation.stepper import SceneMeta, physics_step
 from .builder import WorldBuilder
-from .state import KIND_DYNAMIC, WorldState
+from .state import KIND_DYNAMIC, WorldState, grow_contact_table
 
 
 def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
@@ -60,12 +60,25 @@ class World:
         self.meta = meta or derive_meta(state)
         self._accumulator = 0.0
         self._last_time: Optional[float] = None
+        # grow-on-overflow policy (SURVEY §7 hard part 5): when a step
+        # reports a nonzero capacity-truncation counter, bump the capacity
+        # host-side between steps (one re-trace) instead of silently
+        # truncating forever. Checked after every step_n batch and every
+        # GROW_CHECK_PERIOD-th step() (reading the counters forces a sync,
+        # so per-step checking would serialize the dispatch pipeline).
+        self.auto_grow = True
+        self._step_calls = 0
+    GROW_CHECK_PERIOD = 16
+    GROW_FACTOR = 1.3
 
     # -- stepping -------------------------------------------------------
     def step(self, n: int = 1):
         """Advance n fixed-dt steps (reference: edyn::step_simulation)."""
         for _ in range(n):
             self.state = physics_step(self.state, self.settings, self.meta)
+            self._step_calls += 1
+            if self.auto_grow and self._step_calls % self.GROW_CHECK_PERIOD == 0:
+                self._maybe_grow()
         return self
 
     def step_n(self, n: int, donate: bool = False):
@@ -82,7 +95,51 @@ class World:
         from ..simulation.stepper import physics_step_n, physics_step_n_donated
         fn = physics_step_n_donated if donate else physics_step_n
         self.state = fn(self.state, jnp.int32(n), self.settings, self.meta)
+        if self.auto_grow:
+            self._maybe_grow()
         return self
+
+    def _maybe_grow(self):
+        """Grow-on-overflow: any nonzero drop counter from the last step
+        bumps the corresponding capacity (contact table + SceneMeta) by
+        GROW_FACTOR and lets the next step re-trace at the new width. The
+        live state is preserved exactly — tables are padded, never rebuilt.
+        Window alarms (overflow[3]) are conservative may-have-missed
+        signals, not drops, and do not trigger growth."""
+        ovf = np.asarray(self.state.overflow)
+        if ovf[[0, 1, 2, 4]].max() <= 0:
+            return False
+        meta = self.meta
+        changes = {}
+        if ovf[0] > 0 or ovf[4] > 0:  # broadphase pairs / manifold slots
+            new_pairs = -(-int(meta.max_pairs * self.GROW_FACTOR) // 128) * 128
+            changes["max_pairs"] = new_pairs
+            if meta.max_rows is not None:
+                changes["max_rows"] = max(
+                    meta.max_rows, min(new_pairs, meta.max_rows * 2))
+            if meta.bucket_cap is not None:
+                changes["bucket_cap"] = max(meta.bucket_cap, new_pairs // 2)
+            self.state = dataclasses.replace(
+                self.state,
+                contacts=grow_contact_table(self.state.contacts, new_pairs),
+                edge_pointed=jnp.concatenate([
+                    self.state.edge_pointed,
+                    jnp.zeros((new_pairs - self.meta.max_pairs,), bool)]))
+        if ovf[1] > 0 and meta.bucket_cap is not None:  # narrowphase bucket
+            changes["bucket_cap"] = -(-int(max(
+                changes.get("bucket_cap", meta.bucket_cap),
+                meta.bucket_cap * self.GROW_FACTOR)) // 128) * 128
+        if ovf[2] > 0 and meta.max_rows is not None:  # compacted solver rows
+            changes["max_rows"] = -(-int(max(
+                changes.get("max_rows", meta.max_rows),
+                meta.max_rows * self.GROW_FACTOR)) // 128) * 128
+        if not changes:
+            return False
+        self.meta = dataclasses.replace(meta, **changes)
+        # clear the counters so an un-regrown dimension doesn't re-trigger
+        self.state = dataclasses.replace(
+            self.state, overflow=jnp.zeros_like(self.state.overflow))
+        return True
 
     def update(self, elapsed: Optional[float] = None):
         """Variable-rate update with the fixed-dt accumulator (reference:
@@ -442,6 +499,10 @@ class World:
             updates["linvel"] = st.linvel.at[i].set(0.0) if kind == 2 else st.linvel
             updates["gravity"] = st.gravity.at[i].set(0.0)
         self.state = dataclasses.replace(st, **updates)
+        # kind changes island-graph connectivity (only dynamic bodies
+        # connect islands) without touching the pair list, so the
+        # steady-state label skip must be invalidated (ADVICE r4)
+        self._reset_island_stability()
         return self
 
     def set_shape(self, i, shape):
@@ -487,6 +548,9 @@ class World:
         self.meta = dataclasses.replace(
             self.meta,
             types_present=self.meta.types_present | {int(stype)})
+        # manifold points were cleared without a pair-list change: the
+        # pointed mask shifts under the steady-state label skip (ADVICE r4)
+        self._reset_island_stability()
         return self
 
     def spawn(self, def_, poly_index=None) -> int:
