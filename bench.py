@@ -23,15 +23,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax
+
 if os.environ.get("JAX_PLATFORMS"):
     # The axon sitecustomize pins the platform after env vars are read, so
     # honor JAX_PLATFORMS explicitly (needed to smoke-test on CPU when the
     # TPU tunnel is down).
-    import jax
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# persistent compile cache ALWAYS (the driver runs without JAX_PLATFORMS;
+# re-runs and size sweeps must not pay cold relay compiles twice)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BASELINE_STEPS_PER_SEC = 20.0  # see BASELINE.md — estimated, not published
 SIZES = [int(x) for x in os.environ.get(

@@ -362,7 +362,20 @@ def update_contacts(state, man, threshold: float, types_present: frozenset,
     act = cls >= 0
 
     def merge_full(_):
-        return _merge(man, new_pts)
+        # frozen (sleeping/static-static) pairs keep their points VERBATIM,
+        # exactly like the small-width branch which never gathers them —
+        # otherwise per-point lifetime/distance would depend on which ladder
+        # branch the live count selected (ADVICE r4)
+        merged = _merge(man, new_pts)
+        fr = frozen & man.valid
+
+        def keep_frozen(f):
+            old, new = getattr(man, f), getattr(merged, f)
+            m = fr.reshape(fr.shape + (1,) * (old.ndim - 1))
+            return jnp.where(m, old, new)
+
+        return dataclasses.replace(
+            merged, **{f: keep_frozen(f) for f in _MERGE_FIELDS})
 
     def merge_small(_):
         sel, sel_ok, _d = _compact_sel(act, Ksmall, M)

@@ -292,6 +292,16 @@ class WorldState:
     island_stable_steps: jnp.ndarray  # [] int32 — consecutive steps with an
                                 # unchanged edge set (pair list + pointed
                                 # mask); host lifecycle mutators reset it
+    # broadphase pair-list carry: True when contacts.sort_key/sort_pvalid
+    # hold the exact pair list of the current admission boxes. When no box
+    # re-seats in a step (no body escaped its carried fat box — every
+    # settled/sleeping step), the pair set provably cannot change and the
+    # whole broadphase is skipped under lax.cond, reusing the sorted list
+    # (the reference analogue: dynamic_tree::move() returns false for
+    # non-escaping AABBs and no re-query happens, dynamic_tree.cpp:60-77).
+    # Host mutators that change pair eligibility outside the boxes
+    # (spawn/destroy/set_kind/set_shape/exclusions/filters) reset it.
+    bp_carry_ok: jnp.ndarray    # [] bool
     # sub-tables
     contacts: ContactTable
     joints: JointTable
@@ -387,6 +397,7 @@ class WorldState:
             edge_pointed=jnp.zeros((M,), bool),
             labels_stable=jnp.zeros((), bool),
             island_stable_steps=jnp.zeros((), jnp.int32),
+            bp_carry_ok=jnp.zeros((), bool),
             contacts=ContactTable.zeros(M),
             joints=JointTable.zeros(J),
             poly=poly if poly is not None else PolyTable.empty(),

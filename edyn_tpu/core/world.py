@@ -250,6 +250,9 @@ class World:
         orn = st.orn if orientation is None else st.orn.at[i].set(
             jnp.asarray(orientation, scalar_dtype()))
         self.state = dataclasses.replace(st, pos=pos, orn=orn)
+        # a teleported PLANE keeps its world-slab AABB (no box escape fires),
+        # so the pair carry must be invalidated host-side
+        self._reset_island_stability()
         return self
 
     def set_velocity(self, i, linvel=None, angvel=None):
@@ -321,15 +324,17 @@ class World:
         return self
 
     def _reset_island_stability(self):
-        """Island-graph edges changed outside the step (joint/body
-        lifecycle): invalidate the steady-state label skip so the next
-        2*RESET_PERIOD steps recompute labels (see stepper.physics_step_impl;
-        pair-list changes are detected on device, joint/body table edits are
-        not)."""
+        """Island-graph edges or pair eligibility changed outside the step
+        (joint/body lifecycle, filters): invalidate the steady-state label
+        skip so the next 2*RESET_PERIOD steps recompute labels, and the
+        broadphase pair-list carry so the next step re-enumerates pairs
+        (see stepper.physics_step_impl; pair-list changes driven by MOTION
+        are detected on device via box escape, host table edits are not)."""
         self.state = dataclasses.replace(
             self.state,
             island_stable_steps=jnp.zeros((), jnp.int32),
-            labels_stable=jnp.zeros((), bool))
+            labels_stable=jnp.zeros((), bool),
+            bp_carry_ok=jnp.zeros((), bool))
 
     def exclude_collision(self, a: int, b: int):
         """Runtime collision exclusion (reference:
@@ -345,6 +350,7 @@ class World:
             assert len(slots), f"exclusion list of body {x} full"
             ex = ex.at[x, int(slots[0])].set(y)
         self.state = dataclasses.replace(self.state, exclusions=ex)
+        self._reset_island_stability()  # pair eligibility changed
         return self
 
     def set_mass(self, i, mass: float):

@@ -29,6 +29,45 @@ from ..math import quat, vec
 MAX_CORRECTION = 0.05  # metres of positional error consumed per iteration
 
 
+def solve_positions_pallas(state, rows, tbl, ab_p, num_iterations: int,
+                           interpret: bool = False):
+    """solve_positions with the per-iteration math as ONE Pallas kernel
+    (dynamics/pallas_solver.py). Semantics identical to solve_positions
+    (tested in tests/test_pallas_solver.py)."""
+    if num_iterations <= 0:
+        return state
+    from . import pallas_solver as ps
+
+    ERROR_EXIT = 0.005
+    N = state.pos.shape[0]
+
+    def cond(carry):
+        it, dpq_t, go = carry
+        return (it < num_iterations) & go
+
+    def body(carry):
+        it, dpq_t, _ = carry
+        g = dpq_t[:, ab_p]
+        upd, err = ps.ngs_iteration_pallas(
+            tbl, g, float(CONTACT_POSITION_CORRECTION_RATE),
+            float(MAX_CORRECTION), interpret=interpret)
+        go = jnp.max(err) >= ERROR_EXIT
+        dpq_t = dpq_t.at[:, ab_p].add(
+            jnp.concatenate([upd[:6], upd[6:]], axis=1))
+        return it + 1, dpq_t, go
+
+    _, dpq_t, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((6, N)), jnp.bool_(True)))
+    dpq = dpq_t.T
+    dpos, dang = dpq[:, 0:3], dpq[:, 3:6]
+    dang = vec.clamp_length(dang, 0.2)
+    dpos = vec.clamp_length(dpos, 3 * MAX_CORRECTION)
+    return dataclasses.replace(
+        state,
+        pos=state.pos + dpos,
+        orn=quat.integrate(state.orn, dang, 1.0))
+
+
 def solve_positions(state, rows, num_iterations: int):
     if num_iterations <= 0:
         return state

@@ -595,6 +595,57 @@ def solve_contacts_once(rows: ContactRows, imp6, dvw):
     return imp6, dvw
 
 
+def solve_restitution_pallas(state, rows: ContactRows, tbl, ab_p,
+                             num_iterations: int,
+                             num_individual_iterations: int,
+                             interpret: bool = False):
+    """solve_restitution with the inner-iteration math as ONE Pallas kernel
+    per iteration (see dynamics/pallas_solver.py). Semantics identical to
+    solve_restitution (tested in tests/test_pallas_solver.py); the outer
+    while keeps the reference's early exit. ``tbl``/``ab_p`` come from
+    pallas_solver.pack_rows_t on the same rows."""
+    from . import pallas_solver as ps
+
+    relvel_threshold = -0.005
+    N = state.capacity
+    Rp = tbl.shape[1]
+    valid_p = tbl[55:56, :] > 0.5
+    restit_p = tbl[56:57, :]
+
+    def relvel_of(velp_t):
+        return ps.relvel_pallas(tbl, velp_t[:, ab_p], interpret=interpret)
+
+    def cond(carry):
+        it, velp_t, go = carry
+        return (it < num_iterations) & go
+
+    def body(carry):
+        it, velp_t, _ = carry
+        relvel = relvel_of(velp_t)
+        active = valid_p & (relvel < relvel_threshold) & (restit_p > 0)
+        go = jnp.any(active)
+        rhs = -relvel * (1.0 + restit_p)
+        dyn = jnp.concatenate([rhs, active.astype(jnp.float32)], axis=0)
+
+        dvw_t = jnp.zeros((6, N))
+        imp3_t = jnp.zeros((3, Rp))
+        for _ in range(num_individual_iterations):
+            g = dvw_t[:, ab_p]
+            imp3_t, upd = ps.restitution_iteration_pallas(
+                tbl, dyn, imp3_t, g, interpret=interpret)
+            dvw_t = dvw_t.at[:, ab_p].add(
+                jnp.concatenate([upd[:6], upd[6:]], axis=1))
+        return it + 1, velp_t + dvw_t, go
+
+    velp0 = jnp.concatenate([state.linvel, state.angvel], axis=1).T
+    relvel0 = relvel_of(velp0)
+    go0 = jnp.any(valid_p & (relvel0 < relvel_threshold) & (restit_p > 0))
+    _, velp_t, _ = jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0), velp0, go0))
+    velp = velp_t.T
+    return velp[:, 0:3], velp[:, 3:6]
+
+
 def solve_restitution(state, rows: ContactRows, num_iterations: int,
                       num_individual_iterations: int, dt: float):
     """Restitution shock-propagation pre-pass (reference:

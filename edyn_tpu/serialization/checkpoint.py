@@ -26,7 +26,9 @@ from ..core.state import WorldState
 #     rebuilt from contacts/key on load), overflow counter 4 -> 5, island
 #     steady-skip tracking (edge_pointed/labels_stable/island_stable_steps —
 #     zero defaults just disengage the skip until the world re-stabilizes).
-FORMAT_VERSION = 5
+# v6: broadphase pair-list carry flag (bp_carry_ok — zero default just
+#     re-enumerates pairs on the first step after load).
+FORMAT_VERSION = 6
 MIN_SUPPORTED_VERSION = 3
 
 # Leaves added after v3, backfilled with self-healing defaults when loading
@@ -50,6 +52,7 @@ _BACKFILL = {
     "edge_pointed": lambda leaf, d: np.zeros(leaf.shape, leaf.dtype),
     "labels_stable": lambda leaf, d: np.zeros(leaf.shape, leaf.dtype),
     "island_stable_steps": lambda leaf, d: np.zeros(leaf.shape, leaf.dtype),
+    "bp_carry_ok": lambda leaf, d: np.zeros(leaf.shape, leaf.dtype),
 }
 
 

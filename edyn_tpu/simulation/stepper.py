@@ -65,6 +65,11 @@ class SceneMeta:
     # unified-bucket Pallas mega-kernel: None = auto (on for TPU backends,
     # off for CPU), True/False = force
     pallas_narrowphase: object = None
+    # solver iteration math as Pallas kernels (velocity, restitution inner,
+    # NGS — dynamics/pallas_solver.py): None = auto (TPU backends, single
+    # chip), True/False = force. Forcing True on CPU runs interpret mode
+    # (slow; tests only).
+    pallas_solver: object = None
     # sleep/width gating: when the live compacted row count fits in a
     # 1/16-width prefix, the whole solve phase runs on that slice under
     # lax.cond (mostly-asleep worlds stop paying full solver width)
@@ -122,6 +127,27 @@ def integrate_velocities(state, dv, dw, dt: float):
                                orn=orn)
 
 
+def _tpu_backend():
+    import jax as _jax
+    try:
+        b = _jax.default_backend()
+        return b == "tpu" or b.startswith("tpu") or b == "axon"
+    except Exception:
+        return False
+
+
+def _use_pallas_solver(meta: SceneMeta):
+    """Static decision: run the solver iteration math as Pallas kernels
+    (dynamics/pallas_solver.py). Off under multi-chip sharding (the
+    transposed [6,N] delta layout doesn't carry the row-axis sharding
+    constraints) and off on non-TPU backends unless forced."""
+    if meta.shard_mesh is not None:
+        return False
+    if meta.pallas_solver is not None:
+        return bool(meta.pallas_solver)
+    return _tpu_backend()
+
+
 def _solve_phase(state, man, rows, settings: Settings, meta: SceneMeta,
                  use_rest: bool):
     """Everything row-dependent between narrowphase and the step epilogue:
@@ -131,11 +157,25 @@ def _solve_phase(state, man, rows, settings: Settings, meta: SceneMeta,
     prefix-sliced contact row table (see physics_step_impl)."""
     dt = settings.fixed_dt
 
+    use_ps = _use_pallas_solver(meta)
+    if use_ps:
+        from ..dynamics import pallas_solver as ps
+        interp = not _tpu_backend()
+        tbl, a_p, b_p, Rp = ps.pack_rows_t(rows)
+        ab_p = jnp.concatenate([a_p, b_p])
+
     # --- restitution pre-pass (before gravity; reference solver.cpp:387-400) ---
     if use_rest:
-        linvel, angvel = solver_mod.solve_restitution(
-            state, rows, settings.num_restitution_iterations,
-            settings.num_individual_restitution_iterations, dt)
+        if use_ps:
+            linvel, angvel = solver_mod.solve_restitution_pallas(
+                state, rows, tbl, ab_p,
+                settings.num_restitution_iterations,
+                settings.num_individual_restitution_iterations,
+                interpret=interp)
+        else:
+            linvel, angvel = solver_mod.solve_restitution(
+                state, rows, settings.num_restitution_iterations,
+                settings.num_individual_restitution_iterations, dt)
         state = dataclasses.replace(state, linvel=linvel, angvel=angvel)
 
     # --- gravity ---
@@ -143,6 +183,21 @@ def _solve_phase(state, man, rows, settings: Settings, meta: SceneMeta,
 
     # --- refresh rhs against post-gravity velocities ---
     rows = solver_mod.refresh_contact_rhs(rows, state, man, dt, use_rest)
+    if use_ps:
+        # refresh the rhs rows of the packed table in place (rhs_n 48 |
+        # rhs_t1 49 | rhs_t2 50; spin/roll rhs at C_BASE+27:30)
+        R = rows.valid.shape[0]
+        pad = Rp - R
+
+        def prhs(*xs):
+            s = jnp.stack([x.astype(jnp.float32) for x in xs])
+            return jnp.pad(s, ((0, 0), (0, pad))) if pad else s
+
+        tbl = tbl.at[48:51].set(prhs(rows.rn.rhs, rows.r1.rhs, rows.r2.rhs))
+        if rows.sA_n is not None:
+            base = ps.C_BASE
+            tbl = tbl.at[base + 27:base + 30].set(
+                prhs(rows.rhs_spin, rows.rhs_roll1, rows.rhs_roll2))
     if meta.has_joints:
         jrows, new_jangle = joints_mod.build_joint_rows(
             state, dt, settings.mass_splitting)
@@ -166,17 +221,39 @@ def _solve_phase(state, man, rows, settings: Settings, meta: SceneMeta,
     if meta.has_joints:
         dvw = joints_mod.warm_start_joints(jrows, j_imp, dvw)
 
-    def iteration(_, carry):
-        imp6, j_i, dvw = carry
-        imp6, dvw = solver_mod.solve_contacts_once(rows, imp6, dvw)
-        imp6 = _shard_rows(imp6, meta)
-        if meta.has_joints:
-            j_i, dvw = joints_mod.solve_joints_once(jrows, j_i, dvw)
-        return imp6, j_i, dvw
+    if use_ps:
+        # Pallas path: deltas travel TRANSPOSED [6,N]; each iteration is
+        # gather -> ONE kernel -> scatter-add (3-4 dispatches vs ~20 for the
+        # fused-jnp chain). Unrolled: the per-iteration program is tiny.
+        R = rows.valid.shape[0]
+        pad = Rp - R
+        with_sr = rows.sA_n is not None
+        imp_t = (jnp.pad(imp6, ((0, pad), (0, 0))) if pad else imp6).T
+        dvw_t = dvw.T
+        for _ in range(settings.num_solver_velocity_iterations):
+            g = dvw_t[:, ab_p]
+            imp_t, upd = ps.solve_iteration_pallas(tbl, imp_t, g, with_sr,
+                                                   interpret=interp)
+            dvw_t = dvw_t.at[:, ab_p].add(
+                jnp.concatenate([upd[:6], upd[6:]], axis=1))
+            if meta.has_joints:
+                dvw = dvw_t.T
+                j_imp, dvw = joints_mod.solve_joints_once(jrows, j_imp, dvw)
+                dvw_t = dvw.T
+        dvw = dvw_t.T
+        imp6 = imp_t.T[:R]
+    else:
+        def iteration(_, carry):
+            imp6, j_i, dvw = carry
+            imp6, dvw = solver_mod.solve_contacts_once(rows, imp6, dvw)
+            imp6 = _shard_rows(imp6, meta)
+            if meta.has_joints:
+                j_i, dvw = joints_mod.solve_joints_once(jrows, j_i, dvw)
+            return imp6, j_i, dvw
 
-    imp6, j_imp, dvw = jax.lax.fori_loop(
-        0, settings.num_solver_velocity_iterations, iteration,
-        (imp6, j_imp, dvw))
+        imp6, j_imp, dvw = jax.lax.fori_loop(
+            0, settings.num_solver_velocity_iterations, iteration,
+            (imp6, j_imp, dvw))
 
     # store applied impulses for next-step warm starting (reference:
     # island_solver.cpp assign_applied_impulses): ONE packed scatter through
@@ -198,7 +275,14 @@ def _solve_phase(state, man, rows, settings: Settings, meta: SceneMeta,
     state = integrate_velocities(state, dvw[:, 0:3], dvw[:, 3:6], dt)
 
     # --- position correction (reuses the compacted contact rows) ---
-    state = solve_positions(state, rows, settings.num_solver_position_iterations)
+    if use_ps:
+        from ..dynamics.position import solve_positions_pallas
+        state = solve_positions_pallas(
+            state, rows, tbl, ab_p,
+            settings.num_solver_position_iterations, interpret=interp)
+    else:
+        state = solve_positions(state, rows,
+                                settings.num_solver_position_iterations)
     if meta.has_joints:
         state = joints_mod.solve_joint_positions(
             state, settings.num_solver_position_iterations)
@@ -238,20 +322,51 @@ def physics_step_impl(state, settings: Settings, meta: SceneMeta):
     state = dataclasses.replace(state, aabb_min=amin, aabb_max=amax,
                                 bp_aabb_min=bp_min, bp_aabb_max=bp_max)
 
-    # --- broadphase ---
-    from ..collision.broadphase import DENSE_LIMIT, find_pairs_sweep
+    # --- broadphase (skipped entirely when no admission box re-seated) ---
+    from ..collision.broadphase import (DENSE_LIMIT, INVALID_KEY,
+                                        find_pairs_sweep)
     mode = meta.broadphase_mode
     if mode == "auto":
         mode = "dense" if state.capacity <= DENSE_LIMIT else "sweep"
-    if mode == "sweep":
-        keys, pa, pb, pvalid, bp_dropped, bp_alarms = find_pairs_sweep(
-            state, meta.max_pairs, meta.sweep_window, meta.wide_cap,
-            meta.should_collide_fn)
-    else:
-        keys, pa, pb, pvalid, bp_dropped = find_pairs(
+
+    def compute_pairs(_):
+        if mode == "sweep":
+            return find_pairs_sweep(
+                state, meta.max_pairs, meta.sweep_window, meta.wide_cap,
+                meta.should_collide_fn)
+        k, a, b, v, d = find_pairs(
             state, meta.max_pairs, meta.broadphase_block,
             meta.should_collide_fn, wide_cap=meta.wide_cap)
-        bp_alarms = jnp.zeros((), jnp.int32)
+        return k, a, b, v, d, jnp.zeros((), jnp.int32)
+
+    # Pair-list carry: the admitted pair set is a pure function of the
+    # carried admission boxes + host-mutable filters. If NO valid body's
+    # box re-seated this step and no host mutation touched the filters
+    # (bp_carry_ok), last step's sorted pair list (stored on the manifold
+    # table as its sorted view) is bit-identical to what find_pairs would
+    # emit — reuse it and skip the whole mask/extraction under lax.cond
+    # (reference: dynamic_tree::move returns false for non-escaping AABBs
+    # and broadphase re-queries nothing, dynamic_tree.cpp:60-77). A custom
+    # should_collide_fn may read arbitrary state, so it disables the carry.
+    from ..shapes.params import ShapeType
+    validb = state.valid & (state.shape_type != ShapeType.NONE)
+    can_reuse = (state.bp_carry_ok & ~jnp.any(escaped & validb)
+                 if meta.should_collide_fn is None else jnp.bool_(False))
+
+    def reuse_pairs(_):
+        P = meta.max_pairs
+        Ncap = state.capacity
+        k = state.contacts.sort_key[:P]
+        v = state.contacts.sort_pvalid[:P]
+        ok = k != INVALID_KEY
+        a = jnp.where(ok, k // Ncap, 0).astype(jnp.int32)
+        b = jnp.where(ok, k % Ncap, 0).astype(jnp.int32)
+        z = jnp.zeros((), jnp.int32)
+        return k, a, b, v, z, z
+
+    keys, pa, pb, pvalid, bp_dropped, bp_alarms = jax.lax.cond(
+        can_reuse, reuse_pairs, compute_pairs, None)
+    state = dataclasses.replace(state, bp_carry_ok=jnp.bool_(True))
 
     # --- manifold persistence + narrowphase ---
     man, edge_dropped, man_dropped, pairs_same = update_slots(

@@ -1,10 +1,17 @@
 """Count post-optimization HLO instructions (~= kernel dispatches) in the
-physics step, attributed to source files via op metadata.
+physics step, attributed to source files via fusion-body metadata.
 
-Each non-trivial instruction in the optimized entry computation is roughly
-one device dispatch on the axon runtime (fusions count once). Loop bodies
-dispatch per trip, so instructions inside while-loop called computations are
-multiplied by an estimated trip count when --loops is given.
+On the axon relay every non-trivial instruction in the optimized entry
+computation is roughly one device dispatch (fusions count once).
+Conditionals execute ONE branch at runtime, so the count descends into the
+MAX branch; while bodies are counted once (steady-state trip counts are
+printed separately so hot-loop cost can be multiplied by trips).
+
+Usage:
+  JAX_PLATFORMS=cpu python scripts/kernel_count.py   # CPU lowering (jnp paths)
+  python scripts/kernel_count.py                     # TPU lowering via the
+                                                     # relay (Pallas paths on)
+Env: BENCH_BODIES (default 10000).
 """
 import collections
 import os
@@ -13,10 +20,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import edyn_tpu as et
 from edyn_tpu.utils import scenes
@@ -24,73 +34,117 @@ from edyn_tpu.simulation.stepper import physics_step_impl
 
 N = int(os.environ.get("BENCH_BODIES", 10_000))
 
+SKIP = ("parameter", "constant", "tuple", "get-tuple-element", "bitcast",
+        "copy-start", "copy-done", "async-start", "async-done",
+        "async-update", "copy")
 
-def main():
-    builder, _ = scenes.mixed_pile(n_bodies=N)
-    world = et.make_world(builder, et.Settings())
-    lowered = jax.jit(physics_step_impl, static_argnames=("settings", "meta")).lower(
-        world.state, world.settings, world.meta)
-    compiled = lowered.compile()
-    txt = compiled.as_text()
 
-    # Parse computations: entry + called.  Count instructions per computation.
-    comps = {}   # name -> list of (op, srcfile)
+def parse(txt):
+    comps = {}
     cur = None
-    for line in txt.splitlines():
-        m = re.match(r"^(?:ENTRY )?%?([\w\.\-]+) \(.*\) -> .* \{", line)
-        if m and ("ENTRY" in line or line.startswith("%")):
-            cur = m.group(1)
-            comps[cur] = []
-            continue
-        if line.startswith("}"):
+    for ln in txt.splitlines():
+        if ln.startswith("}"):
             cur = None
+            continue
+        m = re.match(r"^(ENTRY )?%?([\w\.\-]+) \(.*\{", ln)
+        if m:
+            cur = m.group(2)
+            comps[cur] = {"entry": bool(m.group(1)), "instrs": []}
             continue
         if cur is None:
             continue
-        ls = line.strip()
-        m = re.match(r"%?[\w\.\-]+ = [\w\[\]\{\}0-9, ]+ ([\w\-]+)\(", ls)
-        if not m:
-            continue
-        op = m.group(1)
-        if op in ("parameter", "constant", "tuple", "get-tuple-element",
-                  "bitcast", "copy-done", "copy-start"):
-            continue
-        sm = re.search(r'op_name="([^"]*)"', ls)
+        ls = ln.strip()
+        m2 = re.match(r"%?([\w\.\-]+) = \S+.*? ([\w\-]+)\(", ls)
+        if m2:
+            comps[cur]["instrs"].append((m2.group(2), ls))
+    return comps
+
+
+def called(ls):
+    out = []
+    for key in ("calls=", "to_apply=", "body=", "condition="):
+        m = re.search(re.escape(key) + r"%?([\w\.\-]+)", ls)
+        if m:
+            out.append(m.group(1))
+    m = re.search(r"branch_computations=\{([^}]*)\}", ls)
+    if m:
+        out += [x.strip().lstrip("%") for x in m.group(1).split(",")]
+    return out
+
+
+def srcs_of(comps, cname):
+    c = collections.Counter()
+    for op, ls in comps.get(cname, {"instrs": []})["instrs"]:
         fm = re.search(r'source_file="([^"]*)"', ls)
-        src = fm.group(1).split("/")[-1] if fm else "?"
-        name = sm.group(1) if sm else "?"
-        comps[cur].append((op, src, name))
+        if fm:
+            c[fm.group(1).split("/")[-1]] += 1
+    return c
 
-    # entry computation: the top-level dispatch sequence
-    entry = None
-    for line in txt.splitlines():
-        if line.startswith("ENTRY"):
-            m = re.search(r"ENTRY %?([\w\.\-]+)", line)
-            entry = m.group(1)
-            break
-    ent = comps.get(entry, [])
-    print(f"total computations: {len(comps)}")
-    print(f"entry instructions (~dispatches, loop bodies once): {len(ent)}")
 
-    by_src = collections.Counter(src for _, src, _ in ent)
-    print("\n-- entry by source file --")
-    for s, c in by_src.most_common(25):
-        print(f"  {c:5d}  {s}")
+def count_comp(comps, cname, agg, whiles, depth=0):
+    total = 0
+    for op, ls in comps.get(cname, {"instrs": []})["instrs"]:
+        if op in SKIP:
+            continue
+        if op == "fusion":
+            cs = called(ls)
+            sc = srcs_of(comps, cs[0]) if cs else None
+            f = sc.most_common(1)[0][0] if sc else "?"
+            agg[f] += 1
+            total += 1
+        elif op == "conditional":
+            brs = called(ls)
+            best, bestn, bestagg, bestw = None, -1, None, None
+            for b in brs:
+                sub = collections.Counter()
+                subw = []
+                n = count_comp(comps, b, sub, subw, depth + 1)
+                if n > bestn:
+                    best, bestn, bestagg, bestw = b, n, sub, subw
+            agg.update(bestagg)
+            whiles.extend(bestw)
+            total += bestn
+        elif op == "while":
+            cs = called(ls)
+            body = cs[0] if cs else None
+            sub = collections.Counter()
+            n = count_comp(comps, body, sub, whiles, depth + 1) if body else 0
+            agg.update(sub)
+            whiles.append((body, n, sub.most_common(3)))
+            total += n
+        elif op == "call":
+            cs = called(ls)
+            total += count_comp(comps, cs[0], agg, whiles, depth + 1) \
+                if cs else 0
+        else:
+            fm = re.search(r'source_file="([^"]*)"', ls)
+            f = (fm.group(1).split("/")[-1] + ":" + op) if fm else op
+            agg[f] += 1
+            total += 1
+    return total
 
-    by_op = collections.Counter(op for op, _, _ in ent)
-    print("\n-- entry by op --")
-    for s, c in by_op.most_common(25):
-        print(f"  {c:5d}  {s}")
 
-    # while loops: find their body computations and sizes
-    print("\n-- while bodies (dispatched per trip) --")
-    for line in txt.splitlines():
-        if " while(" in line and "body=" in line:
-            bm = re.search(r"body=%?([\w\.\-]+)", line)
-            if bm and bm.group(1) in comps:
-                body = comps[bm.group(1)]
-                srcs = collections.Counter(s for _, s, _ in body).most_common(5)
-                print(f"  body {bm.group(1)}: {len(body)} instrs  {srcs}")
+def main():
+    print(f"backend: {jax.default_backend()}, bodies: {N}")
+    builder, _ = scenes.mixed_pile(n_bodies=N)
+    world = et.make_world(builder, et.Settings())
+    lowered = jax.jit(physics_step_impl,
+                      static_argnames=("settings", "meta")).lower(
+        world.state, world.settings, world.meta)
+    compiled = lowered.compile()
+    comps = parse(compiled.as_text())
+    entry = [k for k, v in comps.items() if v["entry"]][0]
+    agg = collections.Counter()
+    whiles = []
+    total = count_comp(comps, entry, agg, whiles)
+    print(f"\nTOTAL dispatch-equivalent instructions "
+          f"(cond = max branch, while bodies ONCE): {total}")
+    print("\n-- by source file / op --")
+    for k, v in agg.most_common(40):
+        print(f"{v:6d}  {k}")
+    print("\n-- while bodies (dispatch per trip; multiply by trips) --")
+    for body, n, top in whiles:
+        print(f"  {n:4d} instrs  {body}  {top}")
 
 
 if __name__ == "__main__":
