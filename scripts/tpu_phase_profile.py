@@ -42,7 +42,13 @@ def main():
     print(f"compile+2 steps: {time.perf_counter()-t0:.1f}s")
 
     t0 = time.perf_counter()
-    world.step_n(SETTLE)
+    # chunked calls: the axon relay kills a single long-running execution
+    # (same workaround as bench.py CALL_CHUNK)
+    done = 0
+    while done < SETTLE:
+        k = min(30, SETTLE - done)
+        world.step_n(k)
+        done += k
     world.block_until_ready()
     settle_rate = SETTLE / (time.perf_counter() - t0)
     print(f"settle {SETTLE} steps: {settle_rate:.1f} steps/s (fused step_n)")
