@@ -39,8 +39,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BASELINE_STEPS_PER_SEC = 20.0  # see BASELINE.md — estimated, not published
+# The 10k HEADLINE size runs FIRST and is never budget-gated: gating it on a
+# super-linear estimate from a smaller size's wall time (the r4 layout) can
+# skip the one row the driver contract scores.
 SIZES = [int(x) for x in os.environ.get(
-    "BENCH_SIZES", "1000,10000,16000,32000").split(",") if x]
+    "BENCH_SIZES", "10000,1000,16000,32000").split(",") if x]
 N_STEPS = int(os.environ.get("BENCH_STEPS", 60))
 SETTLE_STEPS = int(os.environ.get("BENCH_SETTLE", 300))
 PROFILE_DIR = os.environ.get("BENCH_PROFILE")
@@ -171,14 +174,16 @@ def _headline(results):
 
 def main():
     results = []
-    prev = None  # (bodies, elapsed_s) of the last completed size
+    done = {}  # bodies -> wall seconds of each completed size
     for n in SIZES:
         elapsed = time.perf_counter() - _T0
         remaining = BUDGET_S - elapsed
-        if prev is not None:
-            # super-linear growth estimate (compile + step cost both grow
-            # faster than linearly in N) with a 1.3x safety factor
-            est = prev[1] * (n / prev[0]) ** 1.3 * 1.3
+        if done and max(done) < n:
+            # super-linear growth estimate from the LARGEST completed size
+            # (compile + step cost both grow faster than linearly in N),
+            # with a 1.3x safety factor
+            base = max(done)
+            est = done[base] * (n / base) ** 1.3 * 1.3
             if est > remaining:
                 print(json.dumps({
                     "warning": f"skipping {n}-body config: estimated "
@@ -188,7 +193,7 @@ def main():
                 continue
         t0 = time.perf_counter()
         r = bench_size(n)
-        prev = (n, time.perf_counter() - t0)
+        done[n] = time.perf_counter() - t0
         results.append(r)
         # per-config detail on stderr; stdout carries ONLY headline lines so
         # that even an externally killed run leaves a complete headline as

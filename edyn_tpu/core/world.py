@@ -31,10 +31,12 @@ def derive_meta(state: WorldState, max_pairs: Optional[int] = None,
     if max_pairs is None:
         n = int(valid.sum())
         # tight admission (PAIR_SEPARATION_MARGIN carried boxes) measures
-        # ~11 pairs/body on the settled 10k mixed pile (AABB slop around
-        # rotated shapes admits more than the touching ~6/body); 12/body +
-        # the overflow counters replaces the old fat-margin 14/body sizing
-        max_pairs = max(256, min(12 * n, 1 << 19))
+        # 14.2 valid pairs/body on the settled 10k mixed pile (AABB slop
+        # around rotated shapes admits more than the touching ~6/body);
+        # 16/body gives ~13% headroom so auto_grow's re-trace (a full
+        # recompile, minutes at 10k+) never fires on the north-star scene —
+        # grow-on-overflow remains the backstop for denser piles
+        max_pairs = max(256, min(16 * n, 1 << 19))
     max_pairs = min(max_pairs, state.contacts.key.shape[0])
     kw.setdefault("bucket_cap", max(512, max_pairs // 2))
     # live contact points run ~0.75 per live pair on settled piles (4 is
@@ -660,7 +662,9 @@ def make_world(builder: WorldBuilder, settings: Settings = Settings(),
     table share the same (sorted-by-key) layout."""
     if max_pairs is None:
         n = len(builder.defs)
-        max_pairs = max(256, min(12 * n, 1 << 19))
+        # keep in sync with derive_meta: 16/body covers the measured
+        # 14.2/body settled-pile demand with headroom (no mid-run re-trace)
+        max_pairs = max(256, min(16 * n, 1 << 19))
     finalize_kw.setdefault("max_manifolds", max_pairs)
     # bodies whose def didn't pin a gravity follow the world settings
     # (reference: rigidbody_def defaults to edyn::get_gravity(registry))
